@@ -1,0 +1,148 @@
+"""TextRecognizer: config -> (linen module, convertor, loss, jitted fns).
+
+The host-side orchestration layer replacing the reference's
+``EncodeDecodeRecognizer`` glue (encode_decode_recognizer.py:18-88 builds;
+:131-182 forward_train; :184-225 simple_test) and the
+``build_detector`` entry (reference mmocr/models/builder.py:141-152).
+
+Responsibilities:
+  * build convertor/backbone/tpsnet/encoder/decoder/loss from a config dict,
+    injecting num_classes/start_idx/padding_idx/max_seq_len into the decoder
+    and ignore_index into the loss exactly like the reference (:58-79);
+  * own the jit boundaries: ``loss_fn`` (train, mutable batch_stats),
+    ``predict`` (greedy decode for AR decoders / single pass for CTC);
+  * host-side str<->tensor conversion around the device calls.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ConfigDict
+from ..registry import CONVERTORS, MODELS
+from ..models.recognizers.encode_decode import EncodeDecodeRecognizerModule
+from ..models.decoders.nrtr import greedy_decode
+
+_DTYPES = {'float32': jnp.float32, 'bfloat16': jnp.bfloat16}
+
+
+def _build_module(cfg, dtype, **extra):
+    if cfg is None:
+        return None
+    cfg = dict(cfg)
+    return MODELS.build(cfg, dtype=dtype, **extra)
+
+
+class TextRecognizer:
+    """Generic encode-decode recognizer (NRTR/CRNN/SAR/SATRN/RobustScanner,
+    with optional TPS++/preprocessor)."""
+
+    def __init__(self, cfg: Dict[str, Any]):
+        cfg = ConfigDict._wrap(dict(cfg))
+        self.cfg = cfg
+        self.max_seq_len = int(cfg.get('max_seq_len', 40))
+        dtype = _DTYPES[cfg.get('dtype', 'float32')]
+        self.dtype = dtype
+
+        lc_cfg = dict(cfg['label_convertor'])
+        lc_cfg['max_seq_len'] = self.max_seq_len
+        self.label_convertor = CONVERTORS.build(lc_cfg)
+
+        decoder_cfg = cfg.get('decoder')
+        decoder = _build_module(
+            decoder_cfg, dtype,
+            num_classes=self.label_convertor.num_classes(),
+            start_idx=self.label_convertor.start_idx,
+            padding_idx=self.label_convertor.padding_idx,
+            max_seq_len=self.max_seq_len)
+        self.module = EncodeDecodeRecognizerModule(
+            backbone=_build_module(cfg['backbone'], dtype),
+            decoder=decoder,
+            encoder=_build_module(cfg.get('encoder'), dtype),
+            preprocessor=_build_module(cfg.get('preprocessor'), dtype),
+            tpsnet=_build_module(cfg.get('tpsnet'), dtype),
+        )
+        loss_cfg = dict(cfg['loss'])
+        loss_cfg.setdefault('ignore_index', self.label_convertor.padding_idx)
+        self.loss_obj = MODELS.build(loss_cfg)
+        self.autoregressive = getattr(type(decoder), 'IS_AUTOREGRESSIVE',
+                                      False)
+
+        self._predict_jit = None
+
+    # ------------------------------------------------------------- init
+    def init_variables(self, rng, input_shape: Tuple[int, ...]):
+        """input_shape: (N, H, W, C)."""
+        img = jnp.zeros(input_shape, self.dtype)
+        targets = jnp.full((input_shape[0], self.max_seq_len),
+                           self.label_convertor.padding_idx, jnp.int32)
+        vr = jnp.ones((input_shape[0],), jnp.float32)
+        p_rng, d_rng = jax.random.split(rng)
+        return self.module.init({'params': p_rng, 'dropout': d_rng}, img,
+                                targets=targets, valid_ratio=vr, train=False)
+
+    # ------------------------------------------------------------ train
+    def compute_loss(self, variables, batch, dropout_rng, train: bool = True):
+        """Returns (total_loss, (loss_dict, new_model_state)). ``batch``
+        carries img/valid_ratio/padded_targets(/target_lengths)."""
+        out, new_state = self.module.apply(
+            variables, batch['img'], targets=batch.get('padded_targets'),
+            valid_ratio=batch.get('valid_ratio'), train=train,
+            rngs={'dropout': dropout_rng}, mutable=['batch_stats'])
+        targets_dict = {
+            'padded_targets': batch.get('padded_targets'),
+            'target_lengths': batch.get('target_lengths'),
+        }
+        losses = self.loss_obj(out, targets_dict,
+                               valid_ratio=batch.get('valid_ratio'))
+        total = sum(jax.tree.leaves(losses))
+        return total, (losses, new_state)
+
+    # -------------------------------------------------------- inference
+    def _predict_impl(self, variables, img, valid_ratio):
+        if self.autoregressive:
+            out_enc = self.module.apply(variables, img, valid_ratio,
+                                        method='encode')
+
+            def decoder_apply(method, *args):
+                return self.module.apply(variables, *args, method=method)
+
+            return greedy_decode(
+                decoder_apply, out_enc, valid_ratio,
+                max_seq_len=self.max_seq_len,
+                start_idx=self.label_convertor.start_idx)
+        return self.module.apply(variables, img, valid_ratio,
+                                 method='forward_test_nar')
+
+    def predict(self, variables, img, valid_ratio=None):
+        """Jitted device forward: (N,H,W,C) -> (N, T, C') scores."""
+        if self._predict_jit is None:
+            self._predict_jit = jax.jit(self._predict_impl)
+        if valid_ratio is None:
+            valid_ratio = jnp.ones((img.shape[0],), jnp.float32)
+        return self._predict_jit(variables, img, valid_ratio)
+
+    def simple_test(self, variables, img, valid_ratio=None, img_metas=None):
+        """Full test path incl. host-side decoding -> [{'text','score'}]
+        (reference simple_test, encode_decode_recognizer.py:184-225)."""
+        out = np.asarray(self.predict(variables, img, valid_ratio))
+        if img_metas is None:
+            vr = (np.asarray(valid_ratio).tolist()
+                  if valid_ratio is not None else [1.0] * out.shape[0])
+            img_metas = [{'valid_ratio': r} for r in vr]
+        indexes, scores = self.label_convertor.tensor2idx(out, img_metas)
+        strings = self.label_convertor.idx2str(indexes)
+        return [dict(text=s, score=sc) for s, sc in zip(strings, scores)]
+
+
+def build_recognizer(cfg: Dict[str, Any]):
+    """Dispatch on the reference's recognizer ``type=`` names."""
+    type_name = cfg.get('type', 'EncodeDecodeRecognizer')
+    if type_name == 'ABINet':
+        from .abinet import ABINetRecognizer
+        return ABINetRecognizer(cfg)
+    return TextRecognizer(cfg)

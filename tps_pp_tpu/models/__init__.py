@@ -1,0 +1,6 @@
+from . import layers, transformer
+from .backbones import *  # noqa
+from .rectifiers import *  # noqa
+from .encoders import *  # noqa
+from .decoders import *  # noqa
+from .recognizers import *  # noqa

@@ -1,0 +1,144 @@
+"""NRTR transformer decoder (reference ``decoders/nrtr_decoder.py:14-177``).
+
+Training: teacher-forced single pass with pad+causal self-attn mask
+(nrtr_decoder.py:96-151). Inference: the reference greedily re-runs all
+layers over the full 41-token prefix every step with no KV cache
+(nrtr_decoder.py:153-177, the inference hot loop flagged in SURVEY §3.2).
+Here decoding is a ``lax.scan`` with per-layer KV caches — semantics
+preserving: pad positions beyond the current step are masked out in the
+reference anyway, so the cached argmax sequence is identical (verified in
+tests against a full-prefix recompute).
+
+The scan lives outside linen (`greedy_decode`), composing
+``module.apply(..., method=...)`` calls — params are closed over, so the
+whole thing jits into one fused program.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...registry import DECODERS
+from ..transformer import PositionalEncoding, TFDecoderLayer
+from ..encoders.nrtr import sequence_mask
+
+
+@DECODERS.register_module()
+class NRTRDecoder(nn.Module):
+    IS_AUTOREGRESSIVE = True
+
+    n_layers: int = 6
+    d_embedding: int = 512
+    n_head: int = 8
+    d_k: int = 64
+    d_v: int = 64
+    d_model: int = 512
+    d_inner: int = 256
+    n_position: int = 200
+    dropout: float = 0.1
+    num_classes: int = 93
+    max_seq_len: int = 40
+    start_idx: int = 1
+    padding_idx: int = 92
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.trg_word_emb = nn.Embed(self.num_classes, self.d_embedding,
+                                     dtype=self.dtype, name='trg_word_emb')
+        self.position_enc = PositionalEncoding(self.d_embedding,
+                                               self.n_position,
+                                               dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout)
+        self.layer_stack = [
+            TFDecoderLayer(self.d_model, self.d_inner, self.n_head, self.d_k,
+                           self.d_v, self.dropout, dtype=self.dtype)
+            for _ in range(self.n_layers)
+        ]
+        self.layer_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
+        # the reference never predicts <PAD>: output dim C-1
+        # (nrtr_decoder.py:78-79)
+        self.classifier = nn.Dense(self.num_classes - 1, dtype=self.dtype)
+
+    def _embed(self, trg_seq, train: bool, offset: int = 0):
+        x = self.trg_word_emb(trg_seq)
+        x = self.position_enc(x, deterministic=not train, offset=offset)
+        return self.drop(x, deterministic=not train)
+
+    def __call__(self, out_enc, targets, valid_ratio=None,
+                 train: bool = False):
+        """Teacher-forced pass. targets: (N, T) int; returns (N, T, C-1)."""
+        src_mask = sequence_mask(valid_ratio, out_enc.shape[1])
+        T = targets.shape[1]
+        pad_mask = (targets != self.padding_idx)[:, None, :]   # (N,1,T)
+        causal = jnp.tril(jnp.ones((T, T), dtype=bool))[None]  # (1,T,T)
+        trg_mask = (pad_mask & causal).astype(jnp.float32)
+        x = self._embed(targets, train)
+        for layer in self.layer_stack:
+            x = layer(x, out_enc, self_attn_mask=trg_mask,
+                      dec_enc_attn_mask=src_mask, deterministic=not train)
+        x = self.layer_norm(x)
+        return self.classifier(x)
+
+    # ---- cached greedy-decode pieces ---------------------------------
+    def prepare_cache(self, out_enc):
+        """Precompute per-layer encoder K/V; allocate zeroed self caches."""
+        N = out_enc.shape[0]
+        T = self.max_seq_len + 1
+        enc_kvs = tuple(layer.project_enc_kv(out_enc)
+                        for layer in self.layer_stack)
+        self_k = jnp.zeros((self.n_layers, N, self.n_head, T, self.d_k),
+                           self.dtype)
+        self_v = jnp.zeros((self.n_layers, N, self.n_head, T, self.d_v),
+                           self.dtype)
+        return enc_kvs, self_k, self_v
+
+    def decode_step_with_cache(self, token, t, self_k, self_v, enc_kvs,
+                               src_mask):
+        """One greedy step. token: (N,) int32 current input token; t: scalar
+        step index. Returns (probs (N, C-1), new self_k, new self_v)."""
+        x = self._embed(token[:, None], train=False, offset=t)
+        T = self.max_seq_len + 1
+        pos_mask = (jnp.arange(T)[None, :] <= t).astype(jnp.float32)
+        for i, layer in enumerate(self.layer_stack):
+            k_t, v_t = layer.project_self_kv_for_cache(x)
+            new_k = jax.lax.dynamic_update_slice_in_dim(
+                self_k[i], k_t.astype(self_k.dtype), t, axis=2)
+            new_v = jax.lax.dynamic_update_slice_in_dim(
+                self_v[i], v_t.astype(self_v.dtype), t, axis=2)
+            self_k = self_k.at[i].set(new_k)
+            self_v = self_v.at[i].set(new_v)
+            enc_k, enc_v = enc_kvs[i]
+            x = layer.call_step(x, new_k, new_v, pos_mask, enc_k, enc_v,
+                                src_mask, deterministic=True)
+        x = self.layer_norm(x)
+        logits = self.classifier(x[:, 0])
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return probs, self_k, self_v
+
+
+def greedy_decode(decoder_apply, out_enc, valid_ratio, *, max_seq_len: int,
+                  start_idx: int):
+    """Greedy autoregressive decode with KV caches via lax.scan.
+
+    ``decoder_apply(method, *args)`` must dispatch to the bound NRTRDecoder
+    (e.g. ``lambda m, *a: module.apply(vars, *a, method=m)``). Returns
+    (N, max_seq_len, C-1) per-step softmax probabilities, matching the
+    reference's stacked outputs (nrtr_decoder.py:163-177)."""
+    N = out_enc.shape[0]
+    src_mask = sequence_mask(valid_ratio, out_enc.shape[1])
+    enc_kvs, self_k, self_v = decoder_apply('prepare_cache', out_enc)
+
+    def step(carry, t):
+        token, sk, sv = carry
+        probs, sk, sv = decoder_apply('decode_step_with_cache', token, t, sk,
+                                      sv, enc_kvs, src_mask)
+        nxt = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        return (nxt, sk, sv), probs
+
+    init = (jnp.full((N,), start_idx, dtype=jnp.int32), self_k, self_v)
+    _, probs = jax.lax.scan(step, init, jnp.arange(max_seq_len))
+    return jnp.swapaxes(probs, 0, 1)

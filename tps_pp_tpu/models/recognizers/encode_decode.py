@@ -1,0 +1,86 @@
+"""Encode-decode recognizer: the generic STR model assembly.
+
+TPU-native counterpart of reference
+``recognizer/encode_decode_recognizer.py:15-251`` and ``recognizer/base.py``:
+label_convertor + optional preprocessor + backbone + optional tpsnet +
+optional encoder + decoder + loss. Instead of threading a tpsnet Module
+through ``backbone(img, tpsnet, test)`` (reference resnet_v2_large.py:163-196)
+the rectifier is an explicit mid-backbone stage:
+``x, skips = backbone.stem_and_head(img); x = tpsnet(x, skips)['output'];
+x = backbone.tail(x)`` — a functional split that jits cleanly.
+
+The linen module carries only device math. Host-side glue (str<->idx, metric,
+result dicts) lives in :class:`TextRecognizer` (apis/recognizer.py).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...registry import RECOGNIZERS
+
+
+class EncodeDecodeRecognizerModule(nn.Module):
+    backbone: nn.Module
+    decoder: nn.Module
+    encoder: Optional[nn.Module] = None
+    preprocessor: Optional[nn.Module] = None
+    tpsnet: Optional[nn.Module] = None
+
+    def extract_feat(self, img, train: bool = False):
+        """Backbone features with optional image-space preprocessor and
+        feature-space TPS++ (reference extract_feat,
+        encode_decode_recognizer.py:107-122)."""
+        if self.preprocessor is not None:
+            img = self.preprocessor(img, train=train)
+        if self.tpsnet is not None:
+            x, skips = self.backbone.stem_and_head(img, train=train)
+            outs = self.tpsnet(x, skips, train=train)
+            x = self.backbone.tail(outs['output'], train=train)
+            return x
+        return self.backbone(img, train=train)
+
+    def encode(self, img, valid_ratio=None, train: bool = False):
+        feat = self.extract_feat(img, train=train)
+        if self.encoder is not None:
+            return self.encoder(feat, valid_ratio=valid_ratio, train=train)
+        return feat
+
+    def __call__(self, img, targets=None, valid_ratio=None,
+                 train: bool = False):
+        """Teacher-forced train-mode logits (reference forward_train,
+        encode_decode_recognizer.py:131-182, minus host-side label prep)."""
+        feat = self.extract_feat(img, train=train)
+        out_enc = None
+        if self.encoder is not None:
+            out_enc = self.encoder(feat, valid_ratio=valid_ratio, train=train)
+        return self.decoder(out_enc if out_enc is not None else feat,
+                            targets=targets, valid_ratio=valid_ratio,
+                            train=train)
+
+    def forward_test_nar(self, img, valid_ratio=None):
+        """Single-pass test path for non-autoregressive decoders (CRNN)."""
+        feat = self.extract_feat(img, train=False)
+        out_enc = feat
+        if self.encoder is not None:
+            out_enc = self.encoder(feat, valid_ratio=valid_ratio, train=False)
+        return self.decoder(out_enc, valid_ratio=valid_ratio, train=False)
+
+    # --- proxies so greedy_decode can drive the decoder through one apply ---
+    def prepare_cache(self, out_enc):
+        return self.decoder.prepare_cache(out_enc)
+
+    def decode_step_with_cache(self, token, t, self_k, self_v, enc_kvs,
+                               src_mask):
+        return self.decoder.decode_step_with_cache(token, t, self_k, self_v,
+                                                   enc_kvs, src_mask)
+
+
+# Recognizer ``type=`` names are resolved by apis.recognizer.build_recognizer
+# (the reference's recognizer classes NRTR/CRNNNet/SARNet/SATRN/RobustScanner
+# are trivial tags over EncodeDecodeRecognizer — see reference
+# recognizer/{nrtr,crnn,sar,satrn,robust_scanner}.py).
+ENCODE_DECODE_TYPE_NAMES = ('EncodeDecodeRecognizer', 'NRTR', 'CRNNNet',
+                            'SARNet', 'SATRN', 'RobustScanner')
