@@ -1,0 +1,66 @@
+"""Benchmark: NRTR+TPS++ full-inference throughput on one TPU chip.
+
+Measures rectified-image inferences/sec/chip (the BASELINE.json headline:
+target >=5000/sec/chip on v5e) for the flagship NRTR + TPS++ recognizer —
+backbone + TPS++ rectification + 6-layer encoder + KV-cached 40-step greedy
+decode, i.e. the full reference ``simple_test`` device path
+(encode_decode_recognizer.py:184-225), in bfloat16 at batch BENCH_BATCH.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   '.jax_cache'))
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0')
+
+BASELINE_TARGET = 5000.0  # inferences/sec/chip (BASELINE.json north star)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tps_pp_tpu.apis.flagship import nrtr_tps_pp_cfg, FLAGSHIP_INPUT
+    from tps_pp_tpu.apis.recognizer import build_recognizer
+
+    batch = int(os.environ.get('BENCH_BATCH', '512'))
+    iters = int(os.environ.get('BENCH_ITERS', '10'))
+    warmup = int(os.environ.get('BENCH_WARMUP', '3'))
+
+    rec = build_recognizer(nrtr_tps_pp_cfg(dtype='bfloat16'))
+    h, w, c = FLAGSHIP_INPUT
+    variables = rec.init_variables(jax.random.PRNGKey(0), (2, h, w, c))
+    variables = jax.device_put(variables)
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((batch, h, w, c)), jnp.bfloat16)
+    vr = jnp.ones((batch,), jnp.float32)
+
+    # full inference: extract_feat (TPS++ incl.) + encoder + greedy decode
+    out = rec.predict(variables, img, vr)
+    out.block_until_ready()
+    for _ in range(warmup - 1):
+        rec.predict(variables, img, vr).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        rec.predict(variables, img, vr).block_until_ready()
+    dt = time.perf_counter() - t0
+
+    ips = batch * iters / dt
+    print(json.dumps({
+        'metric': 'nrtr_tpspp_infer_images_per_sec_per_chip',
+        'value': round(ips, 2),
+        'unit': 'images/sec/chip',
+        'vs_baseline': round(ips / BASELINE_TARGET, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

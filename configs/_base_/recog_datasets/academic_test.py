@@ -1,0 +1,18 @@
+# the 6 academic STR benchmarks (reference configs/_base_/recog_datasets/
+# academic_test_high.py: IIIT5K 3000 / SVT 647 / IC13 857 / IC15 1811 /
+# SVTP 645 / CT80 288). Point data_root at your local copies.
+data_root = 'data/mixture'
+
+def _ds(name):
+    return dict(
+        type='OCRDataset',
+        img_prefix=f'{data_root}/{name}',
+        ann_file=f'{data_root}/{name}/test_label.txt',
+        loader=dict(type='HardDiskLoader',
+                    parser=dict(type='LineStrParser',
+                                keys=['filename', 'text'],
+                                keys_idx=[0, 1], separator=' ')),
+        test_mode=True)
+
+test_list = [_ds(n) for n in
+             ['IIIT5K', 'svt', 'icdar_2013', 'icdar_2015', 'svtp', 'ct80']]

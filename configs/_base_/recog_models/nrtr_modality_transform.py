@@ -1,0 +1,10 @@
+label_convertor = dict(type='AttnConvertor', dict_type='DICT36',
+                       with_unknown=True, lower=True)
+model = dict(
+    type='NRTR',
+    backbone=dict(type='NRTRModalityTransform'),
+    encoder=dict(type='NRTREncoder', n_layers=6),
+    decoder=dict(type='NRTRDecoder', n_layers=6),
+    loss=dict(type='TFLoss'),
+    label_convertor=label_convertor,
+    max_seq_len=40)

@@ -1,0 +1,13 @@
+# NRTR pipeline (reference nrtr_pipeline.py): height 32, keep AR to max 160
+img_norm_cfg = dict(mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225])
+
+train_pipeline = [
+    dict(type='LoadImageFromFile'),
+    dict(type='ResizeOCR', height=32, min_width=32, max_width=160,
+         keep_aspect_ratio=True, width_downsample_ratio=0.25),
+    dict(type='ToTensorOCR'),
+    dict(type='NormalizeOCR', **img_norm_cfg),
+    dict(type='Collect', keys=['img'],
+         meta_keys=['filename', 'ori_shape', 'resize_shape', 'valid_ratio']),
+]
+test_pipeline = train_pipeline

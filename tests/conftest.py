@@ -1,0 +1,29 @@
+"""Test harness config: force CPU with 8 virtual devices so sharding/psum
+paths are exercised without a TPU (SURVEY §4 'implication for the rebuild').
+
+Must run before jax is imported anywhere — pytest imports conftest first.
+"""
+import os
+import sys
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ.setdefault('JAX_PLATFORM_NAME', 'cpu')  # this build ignores JAX_PLATFORMS
+# XLA compiles are slow on this host; persist them across pytest runs
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), '.jax_cache')
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', _cache_dir)
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '0')
+_flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in _flags:
+    os.environ['XLA_FLAGS'] = (
+        _flags + ' --xla_force_host_platform_device_count=8').strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# default matmul precision truncates to bf16 (the right call on the MXU,
+# wrong for parity assertions) — tests run at full fp32. The env var is not
+# honored by this jax build, so set the config directly.
+import jax  # noqa: E402
+
+jax.config.update('jax_default_matmul_precision', 'highest')

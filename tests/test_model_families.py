@@ -1,0 +1,133 @@
+"""Config-smoke tests for the SAR / SATRN / RobustScanner / ABINet families
+and the RARE TPS-STN preprocessor (reference analog:
+tests/test_models/test_recog_config.py parametrized over real configs)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tps_pp_tpu.models  # noqa: F401
+import tps_pp_tpu.losses  # noqa: F401
+from tps_pp_tpu.apis.recognizer import build_recognizer
+
+
+def _run_train_and_test(cfg, shape, n=2):
+    rec = build_recognizer(cfg)
+    variables = rec.init_variables(jax.random.PRNGKey(0), (n,) + shape)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((n,) + shape), jnp.float32)
+    td = rec.label_convertor.str2tensor(['ab', '7'][:n])
+    batch = {'img': img,
+             'valid_ratio': jnp.asarray([1.0, 0.5][:n], jnp.float32),
+             'padded_targets': jnp.asarray(td['padded_targets'])}
+    if 'target_lengths' in td:
+        batch['target_lengths'] = jnp.asarray(td['target_lengths'])
+    loss, (losses, _) = rec.compute_loss(variables, batch,
+                                         jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss)), losses
+    res = rec.simple_test(variables, img, batch['valid_ratio'])
+    assert len(res) == n and all('text' in r for r in res)
+    return rec, res
+
+
+def tiny_resnet31():
+    return dict(type='ResNet31OCR', layers=[1, 1, 1, 1],
+                channels=[8, 8, 8, 8, 16, 16, 16])
+
+
+def test_sar():
+    cfg = dict(
+        type='SARNet',
+        label_convertor=dict(type='AttnConvertor', dict_type='DICT36',
+                             with_unknown=True),
+        backbone=tiny_resnet31(),
+        encoder=dict(type='SAREncoder', enc_bi_rnn=False, enc_do_rnn=0.1,
+                     d_model=16, d_enc=16),
+        decoder=dict(type='ParallelSARDecoder', enc_bi_rnn=False,
+                     dec_bi_rnn=False, d_model=16, d_enc=16, d_k=8,
+                     pred_dropout=0.1, pred_concat=True),
+        loss=dict(type='SARLoss'),
+        max_seq_len=6,
+    )
+    _run_train_and_test(cfg, (32, 64, 3))
+
+
+def test_satrn():
+    cfg = dict(
+        type='SATRN',
+        label_convertor=dict(type='AttnConvertor', dict_type='DICT36',
+                             with_unknown=True, lower=True),
+        backbone=dict(type='ShallowCNN', input_channels=1, hidden_dim=32),
+        encoder=dict(type='SatrnEncoder', n_layers=1, n_head=2, d_k=8,
+                     d_v=8, d_model=32, n_position=100, d_inner=32),
+        decoder=dict(type='TFDecoder', n_layers=1, d_embedding=32, n_head=2,
+                     d_model=32, d_inner=32, d_k=8, d_v=8),
+        loss=dict(type='TFLoss'),
+        max_seq_len=6,
+    )
+    _run_train_and_test(cfg, (32, 100, 1))
+
+
+def test_robust_scanner():
+    cfg = dict(
+        type='RobustScanner',
+        label_convertor=dict(type='AttnConvertor', dict_type='DICT36',
+                             with_unknown=True),
+        backbone=tiny_resnet31(),
+        encoder=dict(type='ChannelReductionEncoder', in_channels=16,
+                     out_channels=8),
+        decoder=dict(type='RobustScannerDecoder', dim_input=16, dim_model=8,
+                     hybrid_decoder=dict(type='SequenceAttentionDecoder'),
+                     position_decoder=dict(type='PositionAttentionDecoder')),
+        loss=dict(type='SARLoss'),
+        max_seq_len=6,
+    )
+    _run_train_and_test(cfg, (32, 64, 3))
+
+
+def test_abinet():
+    cfg = dict(
+        type='ABINet',
+        label_convertor=dict(type='ABIConvertor', dict_type='DICT36',
+                             with_unknown=False, with_padding=False,
+                             lower=True),
+        backbone=dict(type='ResNetABI', stem_channels=4, base_channels=4,
+                      arch_settings=[1, 1, 1, 1, 1], strides=[2, 1, 2, 1, 1]),
+        encoder=dict(
+            type='ABIVisionModel',
+            encoder=dict(type='TransformerEncoder', n_layers=1, n_head=2,
+                         d_model=64, d_inner=64, dropout=0.1, max_len=8 * 32),
+            decoder=dict(type='ABIVisionDecoder', in_channels=64,
+                         num_channels=16, attn_height=8, attn_width=16,
+                         init_cfg=dict(type='Xavier', layer='Conv2d'))),
+        decoder=dict(type='ABILanguageDecoder', d_model=64, n_head=2,
+                     d_inner=64, n_layers=1, dropout=0.1,
+                     detach_tokens=True, use_self_attn=False),
+        fuser=dict(type='ABIFuser', d_model=64),
+        loss=dict(type='ABILoss', enc_weight=1.0, dec_weight=1.0,
+                  fusion_weight=1.0),
+        max_seq_len=6,
+        iter_size=2,
+    )
+    # input 32x64 -> ResNetABI H/4 -> 8x16 feature
+    rec, res = _run_train_and_test(cfg, (32, 64, 3))
+    # language decoder pad_idx must default to the EOS index
+    assert rec.module.decoder.pad_idx == rec.label_convertor.end_idx
+
+
+def test_crnn_tps_preprocessor():
+    """CRNN-TPS config shape (reference configs/_base_/recog_models/
+    crnn_tps.py): RARE TPS-STN in front of the VGG backbone."""
+    cfg = dict(
+        type='CRNNNet',
+        label_convertor=dict(type='CTCConvertor', dict_type='DICT36',
+                             with_unknown=False, lower=True),
+        preprocessor=dict(type='TPSPreprocessor', num_fiducial=6,
+                          img_size=(32, 64), rectified_img_size=(32, 64),
+                          num_img_channel=1),
+        backbone=dict(type='VeryDeepVgg', leaky_relu=False,
+                      input_channels=1),
+        decoder=dict(type='CRNNDecoder', in_channels=512, rnn_flag=True),
+        loss=dict(type='CTCLoss'),
+        max_seq_len=6,
+    )
+    _run_train_and_test(cfg, (32, 64, 1))

@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Evaluation CLI (reference ``tools/test.py``).
+
+    python tools/test.py CONFIG [CHECKPOINT] --eval acc [--out results.json]
+"""
+import argparse
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='Evaluate a text recognizer')
+    p.add_argument('config')
+    p.add_argument('checkpoint', nargs='?', default=None)
+    p.add_argument('--eval', default='acc')
+    p.add_argument('--out', default=None)
+    p.add_argument('--batch-size', type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    logging.basicConfig(level=logging.INFO,
+                        format='%(asctime)s %(levelname)s %(message)s')
+    args = parse_args()
+
+    from tps_pp_tpu.config import load_config
+    from tps_pp_tpu.apis.inference import init_recognizer
+    from tps_pp_tpu.apis.test import eval_recognizer
+    from tps_pp_tpu.datasets import build_dataset
+
+    cfg = load_config(args.config)
+    rec, variables = init_recognizer(cfg, args.checkpoint)
+    test_ds = build_dataset(cfg['data']['test'], dict(test_mode=True))
+    batch = args.batch_size or cfg['data'].get('samples_per_gpu', 64)
+    metrics, results = eval_recognizer(rec, variables, test_ds,
+                                       batch_size=batch, metric=args.eval,
+                                       return_results=True)
+    print(json.dumps(metrics, indent=2))
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump({'metrics': metrics, 'results': results}, f, indent=2)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,57 @@
+"""Flagship model configs (python-side mirrors of configs/textrecog/*).
+
+``nrtr_tps_pp_cfg`` mirrors the reference flagship
+``configs/textrecog/nrtr/nrtr_tps++.py:26-63`` (NRTR + ResNetABI_v2_large +
+TPS_PP + DICT90 AttnConvertor), with the consistent stride geometry
+[1,2,2,1,2] (SURVEY §2.3) and NHWC shapes. ``tiny`` variants keep the same
+topology at toy dims for CI / dryruns.
+"""
+from __future__ import annotations
+
+
+def nrtr_tps_pp_cfg(dtype: str = 'float32', tiny: bool = False):
+    if tiny:
+        return dict(
+            type='NRTR',
+            dtype=dtype,
+            label_convertor=dict(type='AttnConvertor', dict_type='DICT36',
+                                 with_unknown=True),
+            backbone=dict(type='ResNetABI_v2_large', in_channels=3,
+                          stem_channels=4, base_channels=4,
+                          arch_settings=[1, 1, 1, 1, 1],
+                          strides=[1, 2, 2, 1, 2]),
+            tpsnet=dict(type='TPS_PP', num_img_channel=8,
+                        img_size=(16, 32), rectified_img_size=(16, 32),
+                        point_size=(2, 8)),
+            encoder=dict(type='NRTREncoder', n_layers=2, n_head=2, d_k=8,
+                         d_v=8, d_model=64, d_inner=128, dropout=0.1),
+            decoder=dict(type='NRTRDecoder', n_layers=2, d_embedding=64,
+                         n_head=2, d_model=64, d_inner=128, d_k=8, d_v=8),
+            loss=dict(type='TFLoss'),
+            max_seq_len=8,
+        )
+    return dict(
+        type='NRTR',
+        dtype=dtype,
+        label_convertor=dict(type='AttnConvertor', dict_type='DICT90',
+                             with_unknown=True),
+        backbone=dict(type='ResNetABI_v2_large', in_channels=3,
+                      stem_channels=32, base_channels=32,
+                      arch_settings=[3, 4, 6, 6, 3], strides=[1, 2, 2, 1, 2]),
+        tpsnet=dict(type='TPS_PP', img_size=(16, 64),
+                    rectified_img_size=(16, 64), num_img_channel=64,
+                    point_size=(2, 16), p_stride=2),
+        encoder=dict(type='NRTREncoder', n_layers=6, n_head=8, d_k=64,
+                     d_v=64, d_model=512, d_inner=1024, dropout=0.1),
+        decoder=dict(type='NRTRDecoder', n_layers=6, d_embedding=512,
+                     n_head=8, d_model=512, d_inner=1024, d_k=64, d_v=64,
+                     n_position=200),
+        loss=dict(type='TFLoss'),
+        max_seq_len=40,
+    )
+
+
+# input geometry for the flagship (TPS++ train pipeline resizes to 32x128,
+# reference configs/_base_/recog_pipelines/crnn_pp_pipeline.py)
+FLAGSHIP_INPUT = (32, 128, 3)
+TINY_INPUT = (32, 64, 3)

@@ -22,10 +22,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import convertors as _convertors  # noqa: F401 (registry side effect)
+from .. import losses as _losses          # noqa: F401
+from .. import models as _models          # noqa: F401
 from ..config import ConfigDict
 from ..registry import CONVERTORS, MODELS
 from ..models.recognizers.encode_decode import EncodeDecodeRecognizerModule
-from ..models.decoders.nrtr import greedy_decode
+from ..models.decoders.base import greedy_decode
 
 _DTYPES = {'float32': jnp.float32, 'bfloat16': jnp.bfloat16}
 
@@ -105,14 +108,14 @@ class TextRecognizer:
     # -------------------------------------------------------- inference
     def _predict_impl(self, variables, img, valid_ratio):
         if self.autoregressive:
-            out_enc = self.module.apply(variables, img, valid_ratio,
-                                        method='encode')
+            feat, out_enc = self.module.apply(variables, img, valid_ratio,
+                                              method='encode_full')
 
             def decoder_apply(method, *args):
                 return self.module.apply(variables, *args, method=method)
 
             return greedy_decode(
-                decoder_apply, out_enc, valid_ratio,
+                decoder_apply, feat, out_enc, valid_ratio,
                 max_seq_len=self.max_seq_len,
                 start_idx=self.label_convertor.start_idx)
         return self.module.apply(variables, img, valid_ratio,

@@ -22,9 +22,12 @@ class ABIConvertor(AttnConvertor):
         padded = np.full((len(strings), self.max_seq_len), self.end_idx,
                          dtype=np.int32)
         targets = []
+        lengths = np.zeros((len(strings),), dtype=np.int32)
         for i, index in enumerate(indexes):
             src = list(index[:self.max_seq_len - 1]) + [self.end_idx]
             targets.append(np.asarray(src, dtype=np.int32))
             n = min(len(src), self.max_seq_len)
             padded[i, :n] = src[:n]
-        return {'targets': targets, 'padded_targets': padded}
+            lengths[i] = n
+        return {'targets': targets, 'padded_targets': padded,
+                'target_lengths': lengths}

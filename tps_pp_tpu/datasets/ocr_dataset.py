@@ -1,0 +1,190 @@
+"""Recognition datasets + fixed-shape batch iterator.
+
+Re-implements the reference's dataset stack for the recognition task:
+  * BaseDataset/OCRDataset — loader + parser + pipeline, gt ``text``
+    injection in pre_pipeline, ``evaluate`` via eval_ocr_metric (reference
+    ``datasets/base_dataset.py:12-178``, ``ocr_dataset.py:8-36``). The
+    reference's pipeline-mutating kd_loss hack (base_dataset.py:70-76) is
+    intentionally NOT carried over (SURVEY §7.4), and corrupt samples are
+    skipped with the same advance-to-next-index retry (base_dataset.py:
+    140-161).
+  * UniformConcatDataset — per-benchmark evaluation + mean_ aggregation
+    (reference ``uniform_concat_dataset.py:15-151``, minus the data_any.csv
+    side-channel).
+  * DataLoader — host-side batcher producing fixed-shape NHWC numpy arrays +
+    valid_ratio (TPU wants static shapes; the reference's collate+scatter is
+    replaced by one device_put of a dense batch).
+"""
+from __future__ import annotations
+
+import logging
+import random as _random
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..evaluation import eval_ocr_metric
+from ..registry import DATASETS, LOADERS
+from .pipelines.transforms import Compose
+
+logger = logging.getLogger(__name__)
+
+
+@DATASETS.register_module()
+class OCRDataset:
+    def __init__(self, ann_file: str = '', loader: Dict = None,
+                 pipeline: Sequence = (), img_prefix: str = '',
+                 test_mode: bool = False, dataset_info=None, **kwargs):
+        self.ann_file = ann_file
+        self.img_prefix = img_prefix
+        self.test_mode = test_mode
+        loader = dict(loader or {})
+        loader.setdefault('ann_file', ann_file)
+        self.data_infos = LOADERS.build(loader)
+        self.pipeline = Compose(pipeline)
+
+    def __len__(self):
+        return len(self.data_infos)
+
+    def pre_pipeline(self, results: Dict):
+        results['img_prefix'] = self.img_prefix
+        # inject gt text (reference ocr_dataset.py:11-13)
+        results['text'] = results['img_info'].get('text', '')
+
+    def prepare_data(self, index: int) -> Optional[Dict]:
+        img_info = self.data_infos[index]
+        results = dict(img_info=img_info)
+        self.pre_pipeline(results)
+        return self.pipeline(results)
+
+    def __getitem__(self, index: int) -> Dict:
+        # skip-broken-sample retry loop (reference base_dataset.py:140-161)
+        for _ in range(len(self)):
+            try:
+                data = self.prepare_data(index)
+                if data is not None:
+                    return data
+            except Exception as e:  # corrupt image / bad annotation
+                logger.warning('skipping sample %d: %s', index, e)
+            index = (index + 1) % len(self)
+        raise RuntimeError('all samples failed to load')
+
+    def evaluate(self, results: List[Dict], metric='acc', **kwargs) -> Dict:
+        gt_texts, pred_texts = [], []
+        for i in range(len(self)):
+            gt_texts.append(self.data_infos[i]['text'])
+            pred_texts.append(results[i]['text'])
+        return eval_ocr_metric(pred_texts, gt_texts)
+
+
+@DATASETS.register_module()
+class UniformConcatDataset:
+    """Concat of per-benchmark datasets with uniform pipeline assignment and
+    mean_ metric aggregation (reference uniform_concat_dataset.py)."""
+
+    def __init__(self, datasets: Sequence, pipeline: Sequence = (),
+                 test_mode: bool = False, **kwargs):
+        self.datasets: List[OCRDataset] = []
+        for ds in datasets:
+            ds = dict(ds)
+            if pipeline and 'pipeline' not in ds:
+                ds['pipeline'] = pipeline
+            ds.setdefault('test_mode', test_mode)
+            self.datasets.append(DATASETS.build(ds))
+        self.cumsizes = np.cumsum([len(d) for d in self.datasets]).tolist()
+
+    def __len__(self):
+        return self.cumsizes[-1] if self.cumsizes else 0
+
+    def _locate(self, index: int):
+        for di, cum in enumerate(self.cumsizes):
+            if index < cum:
+                prev = self.cumsizes[di - 1] if di else 0
+                return di, index - prev
+        raise IndexError(index)
+
+    def __getitem__(self, index: int) -> Dict:
+        di, li = self._locate(index)
+        return self.datasets[di][li]
+
+    def evaluate(self, results: List[Dict], metric='acc', **kwargs) -> Dict:
+        """Per-dataset slices -> per-dataset metrics -> mean_ scores
+        (reference uniform_concat_dataset.py:92-151)."""
+        assert len(results) == len(self)
+        out: Dict[str, float] = {}
+        start = 0
+        all_metrics: Dict[str, List[float]] = {}
+        for ds in self.datasets:
+            end = start + len(ds)
+            res = ds.evaluate(results[start:end], metric=metric, **kwargs)
+            name = getattr(ds.data_infos, 'ann_file', '') or 'dataset'
+            for k, v in res.items():
+                out[f'{len(ds)}_{name}_{k}'] = v
+                all_metrics.setdefault(k, []).append(v)
+            start = end
+        for k, vals in all_metrics.items():
+            out[f'mean_{k}'] = float(f'{np.mean(vals):.4f}')
+        return out
+
+
+class DataLoader:
+    """Fixed-shape batcher. Yields dicts of stacked numpy arrays plus
+    host-side 'texts' and 'img_metas' lists."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, seed: Optional[int] = None,
+                 pad_to_batch: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.pad_to_batch = pad_to_batch
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict]:
+        order = list(range(len(self.dataset)))
+        if self.shuffle:
+            rng = _random.Random(
+                (self.seed or 0) * 100003 + self._epoch)
+            rng.shuffle(order)
+        for i in range(0, len(order), self.batch_size):
+            idxs = order[i:i + self.batch_size]
+            if self.drop_last and len(idxs) < self.batch_size:
+                break
+            samples = [self.dataset[j] for j in idxs]
+            yield self.collate(samples)
+
+    def collate(self, samples: List[Dict]) -> Dict:
+        n_real = len(samples)
+        if self.pad_to_batch and n_real < self.batch_size:
+            samples = samples + [samples[-1]] * (self.batch_size - n_real)
+        imgs = np.stack([s['img'] for s in samples]).astype(np.float32)
+        metas = [s['img_metas'] for s in samples]
+        vr = np.asarray([m.get('valid_ratio', 1.0) or 1.0 for m in metas],
+                        np.float32)
+        batch = {
+            'img': imgs,
+            'valid_ratio': vr,
+            'img_metas': metas,
+            'texts': [s.get('text', '') for s in samples],
+            'n_real': n_real,
+        }
+        return batch
+
+
+def build_dataset(cfg: Dict, default_args: Optional[Dict] = None):
+    cfg = dict(cfg)
+    if default_args:
+        for k, v in default_args.items():
+            cfg.setdefault(k, v)
+    return DATASETS.build(cfg)

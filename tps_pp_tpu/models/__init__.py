@@ -4,3 +4,4 @@ from .rectifiers import *  # noqa
 from .encoders import *  # noqa
 from .decoders import *  # noqa
 from .recognizers import *  # noqa
+from .fusers import ABIFuser

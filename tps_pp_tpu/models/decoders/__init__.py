@@ -1,4 +1,12 @@
-from .nrtr import NRTRDecoder, greedy_decode
+from .base import greedy_decode
+from .nrtr import NRTRDecoder
 from .crnn import CRNNDecoder
+from .sar import ParallelSARDecoder
+from .robust_scanner import (SequenceAttentionDecoder,
+                             PositionAttentionDecoder, RobustScannerDecoder)
+from .abi import ABIVisionDecoder, ABILanguageDecoder
 
-__all__ = ['NRTRDecoder', 'CRNNDecoder', 'greedy_decode']
+__all__ = ['NRTRDecoder', 'CRNNDecoder', 'ParallelSARDecoder',
+           'SequenceAttentionDecoder', 'PositionAttentionDecoder',
+           'RobustScannerDecoder', 'ABIVisionDecoder', 'ABILanguageDecoder',
+           'greedy_decode']

@@ -29,6 +29,8 @@ class CRNNDecoder(nn.Module):
                  train: bool = False):
         # feat: (N, H, W, C) NHWC with H*W columns collapsed like the
         # reference's rearrange 'b c h w -> b c (h w)' (crnn_decoder.py:50-52)
+        if out_enc is not None and out_enc.ndim == 4:
+            feat = out_enc
         n, h, w, c = feat.shape
         x = feat.reshape(n, h * w, c)
         if self.rnn_flag:

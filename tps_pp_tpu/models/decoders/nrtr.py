@@ -4,18 +4,13 @@ Training: teacher-forced single pass with pad+causal self-attn mask
 (nrtr_decoder.py:96-151). Inference: the reference greedily re-runs all
 layers over the full 41-token prefix every step with no KV cache
 (nrtr_decoder.py:153-177, the inference hot loop flagged in SURVEY §3.2).
-Here decoding is a ``lax.scan`` with per-layer KV caches — semantics
-preserving: pad positions beyond the current step are masked out in the
-reference anyway, so the cached argmax sequence is identical (verified in
-tests against a full-prefix recompute).
-
-The scan lives outside linen (`greedy_decode`), composing
-``module.apply(..., method=...)`` calls — params are closed over, so the
-whole thing jits into one fused program.
+Here decoding implements the generic decode_init/decode_step protocol with
+per-layer KV caches — semantics preserving: pad positions beyond the current
+step are masked out in the reference anyway, so the per-step distribution is
+identical (verified in tests against a full-prefix recompute).
 """
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
@@ -25,6 +20,7 @@ from flax import linen as nn
 from ...registry import DECODERS
 from ..transformer import PositionalEncoding, TFDecoderLayer
 from ..encoders.nrtr import sequence_mask
+from .base import greedy_decode  # noqa: F401  (re-export)
 
 
 @DECODERS.register_module()
@@ -68,7 +64,7 @@ class NRTRDecoder(nn.Module):
         x = self.position_enc(x, deterministic=not train, offset=offset)
         return self.drop(x, deterministic=not train)
 
-    def __call__(self, out_enc, targets, valid_ratio=None,
+    def __call__(self, feat, out_enc, targets=None, valid_ratio=None,
                  train: bool = False):
         """Teacher-forced pass. targets: (N, T) int; returns (N, T, C-1)."""
         src_mask = sequence_mask(valid_ratio, out_enc.shape[1])
@@ -83,9 +79,10 @@ class NRTRDecoder(nn.Module):
         x = self.layer_norm(x)
         return self.classifier(x)
 
-    # ---- cached greedy-decode pieces ---------------------------------
-    def prepare_cache(self, out_enc):
-        """Precompute per-layer encoder K/V; allocate zeroed self caches."""
+    # ---- generic AR protocol ------------------------------------------
+    def decode_init(self, feat, out_enc, valid_ratio=None):
+        """carry = per-layer self-attn KV caches; static = (enc K/V per
+        layer, encoder valid mask)."""
         N = out_enc.shape[0]
         T = self.max_seq_len + 1
         enc_kvs = tuple(layer.project_enc_kv(out_enc)
@@ -94,12 +91,14 @@ class NRTRDecoder(nn.Module):
                            self.dtype)
         self_v = jnp.zeros((self.n_layers, N, self.n_head, T, self.d_v),
                            self.dtype)
-        return enc_kvs, self_k, self_v
+        src_mask = sequence_mask(valid_ratio, out_enc.shape[1])
+        return (self_k, self_v), (enc_kvs, src_mask)
 
-    def decode_step_with_cache(self, token, t, self_k, self_v, enc_kvs,
-                               src_mask):
-        """One greedy step. token: (N,) int32 current input token; t: scalar
-        step index. Returns (probs (N, C-1), new self_k, new self_v)."""
+    def decode_step(self, token, t, carry, static):
+        """token: (N,) int32; t: scalar step. Returns (probs (N, C-1),
+        carry)."""
+        self_k, self_v = carry
+        enc_kvs, src_mask = static
         x = self._embed(token[:, None], train=False, offset=t)
         T = self.max_seq_len + 1
         pos_mask = (jnp.arange(T)[None, :] <= t).astype(jnp.float32)
@@ -117,28 +116,9 @@ class NRTRDecoder(nn.Module):
         x = self.layer_norm(x)
         logits = self.classifier(x[:, 0])
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        return probs, self_k, self_v
+        return probs, (self_k, self_v)
 
 
-def greedy_decode(decoder_apply, out_enc, valid_ratio, *, max_seq_len: int,
-                  start_idx: int):
-    """Greedy autoregressive decode with KV caches via lax.scan.
-
-    ``decoder_apply(method, *args)`` must dispatch to the bound NRTRDecoder
-    (e.g. ``lambda m, *a: module.apply(vars, *a, method=m)``). Returns
-    (N, max_seq_len, C-1) per-step softmax probabilities, matching the
-    reference's stacked outputs (nrtr_decoder.py:163-177)."""
-    N = out_enc.shape[0]
-    src_mask = sequence_mask(valid_ratio, out_enc.shape[1])
-    enc_kvs, self_k, self_v = decoder_apply('prepare_cache', out_enc)
-
-    def step(carry, t):
-        token, sk, sv = carry
-        probs, sk, sv = decoder_apply('decode_step_with_cache', token, t, sk,
-                                      sv, enc_kvs, src_mask)
-        nxt = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-        return (nxt, sk, sv), probs
-
-    init = (jnp.full((N,), start_idx, dtype=jnp.int32), self_k, self_v)
-    _, probs = jax.lax.scan(step, init, jnp.arange(max_seq_len))
-    return jnp.swapaxes(probs, 0, 1)
+# SATRN's decoder config name (reference configs/_base_/recog_models/
+# satrn.py uses type='TFDecoder' for the same transformer decoder)
+DECODERS.register_module(name='TFDecoder', module=NRTRDecoder)

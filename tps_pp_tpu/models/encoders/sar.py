@@ -1,0 +1,52 @@
+"""SAR holistic LSTM encoder (reference ``encoders/sar_encoder.py:14-111``).
+
+Height max-pool -> 2-layer LSTM over the width axis -> hidden state at the
+valid_ratio-clipped last column -> linear. GRU variant omitted (no shipped
+config uses it); LSTM is the torch-gate scan from layers.py so weights
+convert 1:1.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...registry import ENCODERS
+from ..layers import TorchLSTMCellScan
+
+
+@ENCODERS.register_module()
+class SAREncoder(nn.Module):
+    enc_bi_rnn: bool = False
+    enc_do_rnn: float = 0.0
+    d_model: int = 512
+    d_enc: int = 512
+    mask: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, valid_ratio=None, train: bool = False):
+        # feat: (N, H, W, C) -> max over H -> (N, W, C)
+        x = jnp.max(feat, axis=1)
+        for i in range(2):
+            fwd = TorchLSTMCellScan(self.d_enc, dtype=self.dtype,
+                                    name=f'rnn{i}_fwd')(x)
+            if self.enc_bi_rnn:
+                bwd = TorchLSTMCellScan(self.d_enc, reverse=True,
+                                        dtype=self.dtype,
+                                        name=f'rnn{i}_bwd')(x)
+                x = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                x = fwd
+        T = x.shape[1]
+        if self.mask and valid_ratio is not None:
+            # hidden state at the last valid column (sar_encoder.py:99-105)
+            valid_step = jnp.minimum(
+                T, jnp.ceil(T * valid_ratio)).astype(jnp.int32) - 1
+            holistic = jnp.take_along_axis(
+                x, valid_step[:, None, None], axis=1)[:, 0]
+        else:
+            holistic = x[:, -1]
+        return nn.Dense(x.shape[-1], dtype=self.dtype,
+                        name='linear')(holistic)

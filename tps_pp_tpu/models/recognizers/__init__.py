@@ -1,3 +1,4 @@
 from .encode_decode import EncodeDecodeRecognizerModule
+from .abinet import ABINetRecognizerModule
 
-__all__ = ['EncodeDecodeRecognizerModule']
+__all__ = ['EncodeDecodeRecognizerModule', 'ABINetRecognizerModule']

@@ -42,40 +42,40 @@ class EncodeDecodeRecognizerModule(nn.Module):
             return x
         return self.backbone(img, train=train)
 
-    def encode(self, img, valid_ratio=None, train: bool = False):
+    def encode_full(self, img, valid_ratio=None, train: bool = False):
+        """(feat, out_enc) — both are needed by decoders like SAR whose 2D
+        attention reads the raw feature map alongside the holistic encoding
+        (reference sar_decoder.py:164-200)."""
         feat = self.extract_feat(img, train=train)
+        out_enc = None
         if self.encoder is not None:
-            return self.encoder(feat, valid_ratio=valid_ratio, train=train)
-        return feat
+            out_enc = self.encoder(feat, valid_ratio=valid_ratio, train=train)
+        return feat, out_enc
+
+    def encode(self, img, valid_ratio=None, train: bool = False):
+        feat, out_enc = self.encode_full(img, valid_ratio, train)
+        return out_enc if out_enc is not None else feat
 
     def __call__(self, img, targets=None, valid_ratio=None,
                  train: bool = False):
         """Teacher-forced train-mode logits (reference forward_train,
         encode_decode_recognizer.py:131-182, minus host-side label prep)."""
-        feat = self.extract_feat(img, train=train)
-        out_enc = None
-        if self.encoder is not None:
-            out_enc = self.encoder(feat, valid_ratio=valid_ratio, train=train)
-        return self.decoder(out_enc if out_enc is not None else feat,
-                            targets=targets, valid_ratio=valid_ratio,
-                            train=train)
+        feat, out_enc = self.encode_full(img, valid_ratio, train)
+        return self.decoder(feat, out_enc, targets=targets,
+                            valid_ratio=valid_ratio, train=train)
 
     def forward_test_nar(self, img, valid_ratio=None):
         """Single-pass test path for non-autoregressive decoders (CRNN)."""
-        feat = self.extract_feat(img, train=False)
-        out_enc = feat
-        if self.encoder is not None:
-            out_enc = self.encoder(feat, valid_ratio=valid_ratio, train=False)
-        return self.decoder(out_enc, valid_ratio=valid_ratio, train=False)
+        feat, out_enc = self.encode_full(img, valid_ratio, train=False)
+        return self.decoder(feat, out_enc, valid_ratio=valid_ratio,
+                            train=False)
 
     # --- proxies so greedy_decode can drive the decoder through one apply ---
-    def prepare_cache(self, out_enc):
-        return self.decoder.prepare_cache(out_enc)
+    def decode_init(self, feat, out_enc, valid_ratio=None):
+        return self.decoder.decode_init(feat, out_enc, valid_ratio)
 
-    def decode_step_with_cache(self, token, t, self_k, self_v, enc_kvs,
-                               src_mask):
-        return self.decoder.decode_step_with_cache(token, t, self_k, self_v,
-                                                   enc_kvs, src_mask)
+    def decode_step(self, token, t, carry, static):
+        return self.decoder.decode_step(token, t, carry, static)
 
 
 # Recognizer ``type=`` names are resolved by apis.recognizer.build_recognizer

@@ -155,7 +155,10 @@ class DGABBlock(nn.Module):
         v_h = jax.nn.softmax(h[:, :, :-1], axis=-1)[:, :, :, None]
         x = (v_h * x * h[:, :, -1][..., None, None] +
              v_w * x * w[:, :, -1][..., None, None])
-        x = nn.Dense(self.dim, dtype=self.dtype, name='proj')(x)
+        # reference nn.Linear(dim, dim) acts on the width axis and relies on
+        # width == dim == 64 (DGAB.py:36,52); sized by width for shape
+        # correctness — identical when width == dim
+        x = nn.Dense(self.width, dtype=self.dtype, name='proj')(x)
         return x
 
 
@@ -177,10 +180,12 @@ class DGAB(nn.Module):
         x = x + DGABBlock(self.dim, self.point, self.height, self.width,
                           self.dtype, name='attn')(norm('norm1')(x), y)
         h = norm('norm2')(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+        # reference Mlp(dim, dim*4) also acts on the width axis (see
+        # DGABBlock.proj note) — sized by width for shape correctness
+        h = nn.Dense(int(self.width * self.mlp_ratio), dtype=self.dtype,
                      name='mlp_fc1')(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, dtype=self.dtype, name='mlp_fc2')(h)
+        h = nn.Dense(self.width, dtype=self.dtype, name='mlp_fc2')(h)
         return x + h
 
 
@@ -193,12 +198,16 @@ class TPE(nn.Module):
 
     @nn.compact
     def __call__(self, en_feat, de_feat):
-        # en_feat: (N, py, px, C) NHWC; de_feat: (N, H, W, C) NHWC
+        # en_feat: (N, py, px, C_en) NHWC (C_en = MSFA bottleneck width);
+        # de_feat: (N, H, W, C) NHWC
         py, px = self.point_size
         num_fiducial = py * px
         N = en_feat.shape[0]
         C = self.num_img_channel
-        en_tokens = en_feat.reshape(N, num_fiducial, C)     # (N, F, C)
+        assert en_feat.shape[1] * en_feat.shape[2] == num_fiducial, (
+            f'MSFA bottleneck {en_feat.shape[1:3]} != point_size '
+            f'{self.point_size}; check img_size/point_size consistency')
+        en_tokens = en_feat.reshape(N, num_fiducial, en_feat.shape[-1])
 
         # DGAB runs in (N, C, H, W) index order
         x = de_feat.transpose(0, 3, 1, 2)
@@ -259,7 +268,9 @@ class TPS_PP(nn.Module):
         self.down0_1 = ConvModule(C, 3, stride=2, padding=1, dtype=self.dtype)
         self.down1_1 = ConvModule(C, 3, stride=2, padding=1, dtype=self.dtype)
         self.down_feat = ConvModule(C, 1, stride=1, dtype=self.dtype)
-        self.MSFA = MSFA(in_channels=C, num_channels=64, u_channel=3,
+        # num_channels == num_img_channel (both 64 in the reference,
+        # tps_pp.py:533 + :200-205); DGAB requires the equality
+        self.MSFA = MSFA(in_channels=C, num_channels=C, u_channel=3,
                          stride=self.p_stride, dtype=self.dtype)
         self.TPE = TPE(C, self.point_size, self.img_size, dtype=self.dtype)
 

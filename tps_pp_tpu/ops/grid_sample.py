@@ -118,6 +118,7 @@ def grid_sample_onehot(img: jax.Array, grid_flat: jax.Array,
     tmp = jax.lax.dot_general(
         ry, img.reshape(N, H, W * C).astype(jnp.float32),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
     tmp = tmp.reshape(N, -1, W, C)
     out = jnp.sum(tmp * rx[..., None], axis=2)

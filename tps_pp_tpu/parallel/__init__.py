@@ -1,0 +1,6 @@
+from .mesh import create_mesh, param_sharding, batch_sharding, shard_batch, replicated
+from .train import TrainState, make_train_step, build_optimizer, make_lr_schedule, shard_state
+
+__all__ = ['create_mesh', 'param_sharding', 'batch_sharding', 'shard_batch',
+           'replicated', 'TrainState', 'make_train_step', 'build_optimizer',
+           'make_lr_schedule', 'shard_state']

@@ -1,0 +1,111 @@
+"""Device mesh + sharding rules: the TPU-native replacement for DDP/NCCL.
+
+The reference's only parallelism is data parallelism over NCCL
+(MMDistributedDataParallel wrap at reference apis/train.py:63-67; collectives
+enumerated in SURVEY §2.10). Here the equivalent — and more — is expressed
+through ``jax.sharding``:
+
+  * mesh axes ('data', 'model'): batch sharded over 'data' (DP); transformer
+    weight matrices optionally sharded over 'model' (TP). XLA inserts the
+    gradient psums (DDP-equivalent) and TP collectives over ICI.
+  * params are placed by name-pattern rules: qkv/ffn-in kernels split on the
+    output feature axis, proj/ffn-out kernels on the input feature axis —
+    the Megatron pairing, so each transformer block needs exactly one
+    all-reduce per direction.
+  * metric reductions (the log-var all_reduce at reference base.py:124-127)
+    fall out of jnp.mean over the data-sharded batch.
+
+Multi-host entry: ``jax.distributed.initialize()`` then the same mesh over
+``jax.devices()`` — DCN-aware axis ordering puts 'data' outermost.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(data: Optional[int] = None, model: int = 1,
+                devices=None) -> Mesh:
+    """('data', 'model') mesh. Defaults to all devices on the data axis."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        assert n % model == 0
+        data = n // model
+    assert data * model == n, f'{data}x{model} != {n} devices'
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ('data', 'model'))
+
+
+# name-pattern -> (spec, sharded_axis_for_divisibility_check)
+_TP_RULES = [
+    # attention: split heads on the output of q/k/v, input of the out-proj
+    (re.compile(r'.*(linear_q|linear_k|linear_v)/kernel$'), P(None, 'model')),
+    (re.compile(r'.*(linear_q|linear_k|linear_v)/bias$'), P('model')),
+    (re.compile(r'.*(self_attn|enc_attn|attn)/fc/kernel$'), P('model', None)),
+    # ffn: split d_inner
+    (re.compile(r'.*(mlp/w_1|w_1)/kernel$'), P(None, 'model')),
+    (re.compile(r'.*(mlp/w_1|w_1)/bias$'), P('model')),
+    (re.compile(r'.*(mlp/w_2|w_2)/kernel$'), P('model', None)),
+]
+
+
+def _spec_fits(spec: P, shape, mesh: Mesh) -> bool:
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            continue
+        if dim >= len(shape) or shape[dim] % mesh.shape[axis] != 0:
+            return False
+    return True
+
+
+def param_sharding(params, mesh: Mesh):
+    """Pytree of NamedShardings for a param tree: TP rules where divisible,
+    replicated otherwise."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(path):
+        return '/'.join(getattr(p, 'key', str(getattr(p, 'idx', p)))
+                        for p in path)
+
+    specs = {}
+    for path, leaf in flat:
+        name = path_str(path)
+        spec = P()
+        if mesh.shape.get('model', 1) > 1:
+            for pat, s in _TP_RULES:
+                if pat.match(name) and _spec_fits(s, leaf.shape, mesh):
+                    spec = s
+                    break
+        specs[name] = NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: specs[path_str(path)], params)
+
+
+def batch_sharding(mesh: Mesh):
+    """Leading-axis 'data' sharding for batch arrays; python scalars pass."""
+    def shard_for(x):
+        if hasattr(x, 'ndim') and x.ndim >= 1:
+            return NamedSharding(mesh, P('data'))
+        return NamedSharding(mesh, P())
+    return shard_for
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """device_put the device-bound entries of a host batch onto the mesh."""
+    out = {}
+    fn = batch_sharding(mesh)
+    for k, v in batch.items():
+        if k in ('img_metas', 'texts', 'n_real'):
+            continue
+        out[k] = jax.device_put(v, fn(v))
+    return out

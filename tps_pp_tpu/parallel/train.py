@@ -1,0 +1,141 @@
+"""Sharded train/eval step factories.
+
+The TPU-native replacement for the reference's EpochBasedRunner +
+OptimizerHook loop (reference apis/train.py:19-151; train_step at
+recognizer/base.py:131-164): one jitted ``train_step(state, batch, rng) ->
+(state, metrics)`` with params placed by the mesh sharding rules and the
+batch sharded over 'data'. Gradient all-reduce is inserted by XLA (the DDP
+equivalent); log-var reduction (reference base.py:124-127) is the jnp.mean
+over the sharded batch.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from .mesh import batch_sharding, param_sharding, replicated, shard_batch
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, variables, tx):
+        params = variables['params']
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   batch_stats=variables.get('batch_stats', {}),
+                   opt_state=tx.init(params), tx=tx)
+
+    def variables(self):
+        v = {'params': self.params}
+        if self.batch_stats:
+            v['batch_stats'] = self.batch_stats
+        return v
+
+
+def make_lr_schedule(base_lr: float, *, warmup_steps: int = 0,
+                     warmup_ratio: float = 1e-3, step_epochs=(),
+                     steps_per_epoch: int = 1, gamma: float = 0.1):
+    """Linear warmup + step decay — the TPS++ recipe
+    (reference configs/_base_/schedules/schedule_adam_step_12e.py)."""
+    boundaries = {int(e * steps_per_epoch): gamma for e in step_epochs}
+
+    def schedule(count):
+        lr = base_lr
+        if warmup_steps > 0:
+            frac = jnp.minimum(count / warmup_steps, 1.0)
+            lr = base_lr * (warmup_ratio + (1 - warmup_ratio) * frac)
+        factor = jnp.ones(())
+        for b in sorted(boundaries):
+            factor = jnp.where(count >= b, factor * boundaries[b], factor)
+        return lr * factor
+
+    return schedule
+
+
+def build_optimizer(cfg: Dict, steps_per_epoch: int = 1):
+    """optax chain from a reference-style optimizer/schedule config."""
+    cfg = dict(cfg or {})
+    opt_type = cfg.pop('type', 'Adam')
+    base_lr = cfg.pop('lr', 1e-4)
+    grad_clip = cfg.pop('grad_clip', None)
+    sched_cfg = cfg.pop('lr_config', None) or {}
+    schedule = make_lr_schedule(
+        base_lr,
+        warmup_steps=int(sched_cfg.get('warmup_epochs', 0) * steps_per_epoch)
+        or sched_cfg.get('warmup_steps', 0),
+        warmup_ratio=sched_cfg.get('warmup_ratio', 1e-3),
+        step_epochs=sched_cfg.get('step', ()),
+        steps_per_epoch=steps_per_epoch,
+        gamma=sched_cfg.get('gamma', 0.1))
+    if opt_type.lower() == 'adam':
+        tx = optax.adam(schedule, **cfg)
+    elif opt_type.lower() == 'adamw':
+        tx = optax.adamw(schedule, **cfg)
+    elif opt_type.lower() == 'adadelta':
+        tx = optax.adadelta(schedule, **cfg)
+    elif opt_type.lower() == 'sgd':
+        tx = optax.sgd(schedule, **cfg)
+    else:
+        raise ValueError(opt_type)
+    if grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(
+            grad_clip.get('max_norm', 1.0)), tx)
+    return tx, schedule
+
+
+def make_train_step(recognizer, mesh=None, donate: bool = True) -> Callable:
+    """Jitted sharded train step over an optional mesh."""
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            variables = {'params': params}
+            if state.batch_stats:
+                variables['batch_stats'] = state.batch_stats
+            total, (losses, new_state) = recognizer.compute_loss(
+                variables, batch, rng, train=True)
+            return total, (losses, new_state.get('batch_stats', {}))
+
+        (loss, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {'loss': loss, **losses,
+                   'grad_norm': optax.global_norm(grads)}
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    def place_and_step(state, host_batch, rng):
+        batch = shard_batch(host_batch, mesh)
+        return _jitted(state, batch, rng)
+
+    _jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return place_and_step
+
+
+def shard_state(state: TrainState, mesh) -> TrainState:
+    """Place params per the TP rules; re-init opt_state under jit so its
+    moment trees inherit the param shardings from XLA propagation."""
+    p_sh = param_sharding(state.params, mesh)
+    params = jax.device_put(state.params, p_sh)
+    opt_state = jax.jit(state.tx.init)(params)
+    rep = replicated(mesh)
+    bs = jax.tree.map(lambda x: jax.device_put(x, rep), state.batch_stats)
+    return state.replace(params=params, opt_state=opt_state, batch_stats=bs,
+                         step=jax.device_put(state.step, rep))

@@ -14,6 +14,13 @@ import inspect
 from typing import Any, Callable, Dict, Optional
 
 
+# config keys that are reference-API noise, dropped without warning
+_SILENT_DROP_KEYS = frozenset({
+    'init_cfg', 'pretrained', 'train_cfg', 'test_cfg', 'use_result',
+    'attn_mode', 'backend', 'enc_gru', 'dec_gru', 'with_padding',
+})
+
+
 class Registry:
     """Maps string names to callables (classes or factory functions)."""
 
@@ -80,23 +87,34 @@ class Registry:
             cls = type_name
         else:
             cls = self.get(type_name)
-        if default_kwargs:
-            import dataclasses
-            if dataclasses.is_dataclass(cls):
-                params = {f.name for f in dataclasses.fields(cls)}
-                accepts_var_kw = False
-            else:
-                try:
-                    sig = inspect.signature(cls).parameters
-                    params = set(sig)
-                    accepts_var_kw = any(
-                        p.kind is inspect.Parameter.VAR_KEYWORD
-                        for p in sig.values())
-                except (TypeError, ValueError):
-                    params, accepts_var_kw = set(), True
-            for k, v in default_kwargs.items():
-                if accepts_var_kw or k in params:
-                    cfg.setdefault(k, v)
+        import dataclasses
+        if dataclasses.is_dataclass(cls):
+            params = {f.name for f in dataclasses.fields(cls)}
+            accepts_var_kw = False
+        else:
+            try:
+                sig = inspect.signature(cls).parameters
+                params = set(sig)
+                accepts_var_kw = any(
+                    p.kind is inspect.Parameter.VAR_KEYWORD
+                    for p in sig.values())
+            except (TypeError, ValueError):
+                params, accepts_var_kw = set(), True
+        for k, v in default_kwargs.items():
+            if accepts_var_kw or k in params:
+                cfg.setdefault(k, v)
+        if not accepts_var_kw:
+            # drop config keys the target doesn't take (reference configs
+            # carry init_cfg/pretrained/etc. everywhere) — warn so genuine
+            # misconfigurations stay visible
+            dropped = [k for k in cfg if k not in params]
+            for k in dropped:
+                if k not in _SILENT_DROP_KEYS:
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        'building %s: dropping unsupported config key %r',
+                        getattr(cls, '__name__', cls), k)
+                cfg.pop(k)
         try:
             return cls(**cfg)
         except TypeError as e:

