@@ -147,3 +147,27 @@ class LmdbLoader(BaseLoader):
 
     def _load(self, ann_file):
         return _LmdbBackend(ann_file)
+
+
+class _PackedBackend:
+    """Annotation lines in the first-party TPSPACK1 format (C++ mmap reader
+    in native/tps_native.cpp; zero external deps)."""
+
+    def __init__(self, path: str):
+        from ..native import PackedReader
+        self._reader = PackedReader(path)
+
+    def __len__(self):
+        return len(self._reader)
+
+    def __getitem__(self, index: int) -> str:
+        return self._reader[index].decode('utf-8')
+
+
+@LOADERS.register_module()
+class PackedLoader(BaseLoader):
+    """First-party replacement for LmdbLoader: indexed binary annotation
+    store read through the native mmap reader."""
+
+    def _load(self, ann_file):
+        return _PackedBackend(ann_file)

@@ -50,7 +50,7 @@ class ChannelAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # x: (N,H,W,C)
-        hidden = self.channels // self.ratio
+        hidden = max(1, self.channels // self.ratio)
         mlp = [nn.Dense(hidden, use_bias=False, dtype=self.dtype, name='fc1'),
                nn.Dense(self.channels, use_bias=False, dtype=self.dtype,
                         name='fc2')]
