@@ -42,15 +42,20 @@ def main():
     img = jnp.asarray(rng.standard_normal((batch, h, w, c)), jnp.bfloat16)
     vr = jnp.ones((batch,), jnp.float32)
 
-    # full inference: extract_feat (TPS++ incl.) + encoder + greedy decode
-    out = rec.predict(variables, img, vr)
-    out.block_until_ready()
+    # full inference: extract_feat (TPS++ incl.) + encoder + greedy decode.
+    # NB: materialize on host each iter — block_until_ready alone is not a
+    # reliable completion barrier over the axon tunnel.
+    def run():
+        return np.asarray(rec.predict(variables, img, vr))
+
+    out = run()
+    assert np.isfinite(out.astype(np.float32)).all()
     for _ in range(warmup - 1):
-        rec.predict(variables, img, vr).block_until_ready()
+        run()
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        rec.predict(variables, img, vr).block_until_ready()
+        run()
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt

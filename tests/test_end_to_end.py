@@ -1,0 +1,95 @@
+"""End-to-end toy training + eval + inference (reference analog:
+tests/test_apis/test_single_gpu_test.py + test_model_inference.py):
+overfit a tiny CRNN on the toy dataset, verify the loss drops, run the full
+eval path and the model_inference / readtext APIs."""
+import os
+
+import numpy as np
+import pytest
+
+import tps_pp_tpu.models  # noqa: F401
+import tps_pp_tpu.losses  # noqa: F401
+from tps_pp_tpu.apis.recognizer import build_recognizer
+from tps_pp_tpu.apis.train import train_recognizer
+from tps_pp_tpu.apis.test import eval_recognizer
+from tps_pp_tpu.datasets import build_dataset
+
+TOY = os.path.join(os.path.dirname(__file__), 'data/ocr_toy_dataset')
+
+
+def tiny_crnn_cfg():
+    return dict(
+        type='CRNNNet',
+        label_convertor=dict(type='CTCConvertor', dict_type='DICT36',
+                             with_unknown=False, lower=True),
+        backbone=dict(type='VeryDeepVgg', leaky_relu=False,
+                      input_channels=1),
+        decoder=dict(type='CRNNDecoder', in_channels=512, rnn_flag=False),
+        loss=dict(type='CTCLoss'),
+        max_seq_len=10,
+    )
+
+
+def toy_dataset(test_mode):
+    return build_dataset(dict(
+        type='OCRDataset', img_prefix=TOY,
+        ann_file=os.path.join(TOY, 'label.txt'),
+        loader=dict(type='HardDiskLoader',
+                    parser=dict(type='LineStrParser',
+                                keys=['filename', 'text'],
+                                keys_idx=[0, 1], separator=' ')),
+        pipeline=[
+            dict(type='LoadImageFromFile', color_type='grayscale'),
+            dict(type='ResizeOCR', height=32, min_width=100, max_width=100,
+                 keep_aspect_ratio=False),
+            dict(type='ToTensorOCR'),
+            dict(type='NormalizeOCR', mean=[0.5], std=[0.5]),
+            dict(type='Collect', keys=['img']),
+        ],
+        test_mode=test_mode))
+
+
+def test_train_eval_loop(tmp_path):
+    rec = build_recognizer(tiny_crnn_cfg())
+    train_ds = toy_dataset(False)
+    cfg = dict(samples_per_gpu=10, total_epochs=12, log_interval=10,
+               input_shape=(32, 100, 1),
+               optimizer=dict(type='Adam', lr=2e-3))
+    state, history = train_recognizer(rec, train_ds, cfg,
+                                      work_dir=str(tmp_path / 'wd'), seed=0)
+    losses = [h['loss'] for h in history if 'loss' in h]
+    assert len(losses) >= 2
+    assert losses[-1] < losses[0] * 0.7, losses  # it learns
+
+    # checkpoint was written and restores
+    from tps_pp_tpu.utils.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path / 'wd'))
+    assert mgr.latest_step() is not None
+    restored = mgr.restore(state)
+    assert int(restored.step) == int(state.step)
+
+    # eval path end-to-end
+    metrics = eval_recognizer(rec, state.variables(), toy_dataset(True),
+                              batch_size=10)
+    assert 'word_acc_ignore_case_symbol' in metrics
+
+
+def test_model_inference_api():
+    from tps_pp_tpu.apis.inference import init_recognizer, model_inference
+    cfg = dict(model=tiny_crnn_cfg(), test_pipeline=[
+        dict(type='LoadImageFromFile', color_type='grayscale'),
+        dict(type='ResizeOCR', height=32, min_width=100, max_width=100,
+             keep_aspect_ratio=False),
+        dict(type='ToTensorOCR'),
+        dict(type='NormalizeOCR', mean=[0.5], std=[0.5]),
+        dict(type='Collect', keys=['img']),
+    ])
+    rec, variables = init_recognizer(cfg, input_shape=(1, 32, 100, 1))
+    img_path = os.path.join(TOY, 'img_0.jpg')
+    res = model_inference(rec, variables, img_path)
+    assert 'text' in res and 'score' in res
+    # ndarray input + batch
+    import cv2
+    arr = cv2.imread(img_path, cv2.IMREAD_GRAYSCALE)[:, :, None]
+    res2 = model_inference(rec, variables, [arr, arr])
+    assert len(res2) == 2

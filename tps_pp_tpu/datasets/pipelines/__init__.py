@@ -1,1 +1,1 @@
-from . import transforms
+from . import transforms, tps_aug, test_time_aug

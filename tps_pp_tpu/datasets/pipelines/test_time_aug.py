@@ -1,0 +1,63 @@
+"""MultiRotateAugOCR — rotation TTA for tall crops.
+
+Reference ``pipelines/test_time_aug.py``: when a crop is taller than wide
+(H/W > rotate_degrees threshold logic), evaluate 0/90/270-degree rotations
+and let the recognizer keep the highest-scoring hypothesis
+(merge_aug_results, reference encode_decode_recognizer.py:227-236).
+
+Host-side: `expand` produces the rotated variants; `merge_aug_results`
+implements the reference's mean-score argmax.
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import cv2
+import numpy as np
+
+from ...registry import PIPELINES
+
+
+@PIPELINES.register_module()
+class MultiRotateAugOCR:
+    def __init__(self, rotate_degrees=(0, 90, 270), force_rotate=False,
+                 transforms=(), **kwargs):
+        self.rotate_degrees = list(rotate_degrees)
+        self.force_rotate = force_rotate
+
+    def should_rotate(self, img: np.ndarray) -> bool:
+        h, w = img.shape[:2]
+        return self.force_rotate or h / max(w, 1) >= 1.5
+
+    def expand(self, img: np.ndarray) -> List[np.ndarray]:
+        if not self.should_rotate(img):
+            return [img]
+        out = []
+        for deg in self.rotate_degrees:
+            if deg == 0:
+                out.append(img)
+            elif deg == 90:
+                out.append(np.ascontiguousarray(np.rot90(img, k=3)))
+            elif deg == 270:
+                out.append(np.ascontiguousarray(np.rot90(img, k=1)))
+            else:
+                h, w = img.shape[:2]
+                M = cv2.getRotationMatrix2D((w / 2, h / 2), deg, 1.0)
+                out.append(cv2.warpAffine(img, M, (w, h)))
+        return out
+
+    def __call__(self, results: Dict) -> Dict:
+        results['aug_imgs'] = self.expand(results['img'])
+        return results
+
+
+def merge_aug_results(aug_results: List[Dict]) -> Dict:
+    """Highest mean-score hypothesis (reference
+    encode_decode_recognizer.py:227-236)."""
+    out_text, out_score = '', -1.0
+    for result in aug_results:
+        text = result['text']
+        score = sum(result['score']) / max(1, len(text))
+        if score > out_score:
+            out_text, out_score = text, score
+    return dict(text=out_text, score=out_score)

@@ -1,0 +1,144 @@
+"""Fused TPS++ rectification kernel (Pallas, TPU).
+
+The BASELINE north-star fusion: the reference runs three separate ops —
+score-modulated grid generation (two bmms, tps_pp.py:481-496) and two
+``F.grid_sample`` warps (tps_pp.py:606-615). This kernel fuses all of it
+into one VMEM-resident pass per (batch, pixel-tile) grid cell:
+
+  1. T  = inv_delta_C @ [C'; 0]                (35x35 @ 35x2, MXU)
+  2. P' = [1 | P | P_hat*(score*theta+1)] @ T  (TILE x 35 @ 35x2, MXU)
+  3. bilinear sampling of BOTH feature maps at P' — expressed as
+     interpolation-matrix contractions (hat-function row/col weights),
+     i.e. more MXU matmuls instead of gathers, which TPUs hate.
+
+Grid values keep the reference's quirk: [0,1]-coordinates interpreted by a
+[-1,1] sampler with align_corners=True + border clamp (SURVEY §2.3).
+
+Numerical contract: matches the XLA path (ops/tps.build_P_prime +
+ops/grid_sample.grid_sample) to fp32 tolerance — asserted in
+tests/test_pallas_tps.py (interpret mode on CPU, compiled on TPU).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+THETA = 0.5  # score-modulation strength (reference thela, tps_pp.py:342)
+
+
+def _interp_rows(coords, size: int):
+    """(TILE,) clamped pixel coords -> (TILE, size) hat-function weights."""
+    c = jnp.clip(coords, 0.0, size - 1.0)
+    j = jax.lax.broadcasted_iota(jnp.float32, (coords.shape[0], size), 1)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(c[:, None] - j))
+
+
+def _kernel(cp_ref, score_ref, fg_ref, img_ref, inv_ref, phat_ref, p_ref,
+            rect_ref, mp_ref, *, Hg, Wg, Hi, Wi, C, TILE):
+    # refs (leading batch-block dim of 1 dropped by indexing [0])
+    cp = cp_ref[0]                      # (F, 2)
+    score = score_ref[0]                # (TILE, F)
+    phat = phat_ref[0]                  # (TILE, F)
+    p = p_ref[0]                        # (TILE, 2)
+    inv = inv_ref[:]                    # (F+3, F+3)
+
+    F = cp.shape[0]
+    # 1) T = inv_delta_C @ [C'; 0]
+    cp_full = jnp.concatenate([cp, jnp.zeros((3, 2), jnp.float32)], axis=0)
+    T = jnp.dot(inv, cp_full, preferred_element_type=jnp.float32)  # (F+3, 2)
+
+    # 2) P' for this pixel tile
+    phat_mod = phat * (score * THETA + 1.0)
+    ones = jnp.ones((TILE, 1), jnp.float32)
+    phat_full = jnp.concatenate([ones, p, phat_mod], axis=1)  # (TILE, F+3)
+    pprime = jnp.dot(phat_full, T,
+                     preferred_element_type=jnp.float32)      # (TILE, 2)
+
+    # 3) bilinear sample both maps via interpolation-matrix contractions
+    def sample(src_ref, H, W, out_ref):
+        gx = (pprime[:, 0] + 1.0) * 0.5 * (W - 1)   # align_corners=True
+        gy = (pprime[:, 1] + 1.0) * 0.5 * (H - 1)
+        ry = _interp_rows(gy, H)                     # (TILE, H)
+        rx = _interp_rows(gx, W)                     # (TILE, W)
+        src = src_ref[0].astype(jnp.float32).reshape(H, W * C)
+        tmp = jnp.dot(ry, src,
+                      preferred_element_type=jnp.float32)   # (TILE, W*C)
+        tmp = tmp.reshape(TILE, W, C)
+        out = jnp.sum(tmp * rx[:, :, None], axis=1)         # (TILE, C)
+        out_ref[0] = out.astype(out_ref.dtype)
+
+    sample(fg_ref, Hg, Wg, rect_ref)
+    sample(img_ref, Hi, Wi, mp_ref)
+
+
+@functools.partial(jax.jit, static_argnames=('out_hw', 'tile', 'interpret'))
+def tps_grid_sample_fused(feat_grid: jax.Array, batch_img: jax.Array,
+                          control_point: jax.Array, pc_score: jax.Array,
+                          inv_delta_C: jax.Array, P_hat: jax.Array,
+                          P: jax.Array, out_hw: Tuple[int, int],
+                          tile: int = 256, interpret: bool = False):
+    """Fused rectification.
+
+    Args:
+      feat_grid: (N, Hg, Wg, C) full-res reference feature.
+      batch_img: (N, Hi, Wi, C) stage-2 feature.
+      control_point: (N, F, 2); pc_score: (N, n, F) with n = Hr*Wr.
+      inv_delta_C: (F+3, F+3); P_hat: (n, F); P: (n, 2) — static TPS mats.
+      out_hw: (Hr, Wr).
+    Returns: (rect (N,Hr,Wr,C), mp (N,Hr,Wr,C)).
+    """
+    N, Hg, Wg, C = feat_grid.shape
+    _, Hi, Wi, _ = batch_img.shape
+    Hr, Wr = out_hw
+    n = Hr * Wr
+    Fd = control_point.shape[1]
+    tile = min(tile, n)
+    assert n % tile == 0, (n, tile)
+
+    f32 = jnp.float32
+    kernel = functools.partial(_kernel, Hg=Hg, Wg=Wg, Hi=Hi, Wi=Wi, C=C,
+                               TILE=tile)
+    grid = (N, n // tile)
+    rect, mp = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, Fd, 2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, Fd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hg, Wg, C), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hi, Wi, C), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # inv_delta_C
+            pl.BlockSpec((1, tile, Fd), lambda i, j: (0, j, 0),
+                         memory_space=pltpu.VMEM),        # P_hat (bcast N)
+            pl.BlockSpec((1, tile, 2), lambda i, j: (0, j, 0),
+                         memory_space=pltpu.VMEM),        # P
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, C), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, C), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, n, C), feat_grid.dtype),
+            jax.ShapeDtypeStruct((N, n, C), batch_img.dtype),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * n * (Fd + 3) * 2 + 2 * N * n * (Hg + Hi) * C,
+            bytes_accessed=N * (Hg * Wg + Hi * Wi) * C * 4 +
+            2 * N * n * C * 4,
+            transcendentals=0),
+    )(control_point.astype(f32), pc_score.astype(f32),
+      feat_grid, batch_img, inv_delta_C.astype(f32),
+      P_hat.astype(f32)[None], P.astype(f32)[None])
+    return (rect.reshape(N, Hr, Wr, C), mp.reshape(N, Hr, Wr, C))

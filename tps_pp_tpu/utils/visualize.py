@@ -1,0 +1,72 @@
+"""Visualization helpers (reference ``mmocr/core/visualize.py:323``
+imshow_text_label and the fork's TPS++ feature/point heat-maps,
+``utils/recog.py:33-80`` / ``tools/data/textrecog/visual_feat.py``)."""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import cv2
+import numpy as np
+
+
+def imshow_text_label(img: np.ndarray, pred_label: str, gt_label: str = '',
+                      out_file: Optional[str] = None) -> np.ndarray:
+    """Stack the crop above its predicted (and optional gt) text."""
+    img = np.ascontiguousarray(img)
+    if img.dtype != np.uint8:
+        lo, hi = float(img.min()), float(img.max())
+        img = ((img - lo) / max(hi - lo, 1e-6) * 255).astype(np.uint8)
+    if img.ndim == 2 or img.shape[-1] == 1:
+        img = cv2.cvtColor(img.squeeze(-1) if img.ndim == 3 else img,
+                           cv2.COLOR_GRAY2BGR)
+    h, w = img.shape[:2]
+    bar_h = 24 * (2 if gt_label else 1)
+    canvas = np.full((h + bar_h, max(w, 120), 3), 255, np.uint8)
+    canvas[:h, :w] = img
+    cv2.putText(canvas, f'pred: {pred_label}', (2, h + 16),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.45, (0, 0, 255), 1)
+    if gt_label:
+        cv2.putText(canvas, f'gt: {gt_label}', (2, h + 40),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.45, (0, 128, 0), 1)
+    if out_file:
+        os.makedirs(os.path.dirname(out_file) or '.', exist_ok=True)
+        cv2.imwrite(out_file, canvas)
+    return canvas
+
+
+def draw_feature_map(feat: np.ndarray, out_file: Optional[str] = None,
+                     size=(128, 32)) -> np.ndarray:
+    """Mean-channel heat-map of an NHWC (or HWC) feature
+    (fork visual_feat.py equivalent)."""
+    f = np.asarray(feat, np.float32)
+    if f.ndim == 4:
+        f = f[0]
+    heat = f.mean(-1)
+    heat = (heat - heat.min()) / max(heat.max() - heat.min(), 1e-6)
+    heat = (heat * 255).astype(np.uint8)
+    heat = cv2.resize(heat, size)
+    heat = cv2.applyColorMap(heat, cv2.COLORMAP_JET)
+    if out_file:
+        os.makedirs(os.path.dirname(out_file) or '.', exist_ok=True)
+        cv2.imwrite(out_file, heat)
+    return heat
+
+
+def draw_point_map(img: np.ndarray, control_points: np.ndarray,
+                   out_file: Optional[str] = None) -> np.ndarray:
+    """Overlay predicted TPS++ fiducials ([0,1] coords) on a crop."""
+    canvas = np.ascontiguousarray(img)
+    if canvas.dtype != np.uint8:
+        lo, hi = float(canvas.min()), float(canvas.max())
+        canvas = ((canvas - lo) / max(hi - lo, 1e-6) * 255).astype(np.uint8)
+    if canvas.shape[-1] == 1:
+        canvas = cv2.cvtColor(canvas.squeeze(-1), cv2.COLOR_GRAY2BGR)
+    h, w = canvas.shape[:2]
+    for x, y in np.asarray(control_points).reshape(-1, 2):
+        cv2.circle(canvas, (int(x * (w - 1)), int(y * (h - 1))), 2,
+                   (0, 0, 255), -1)
+    if out_file:
+        os.makedirs(os.path.dirname(out_file) or '.', exist_ok=True)
+        cv2.imwrite(out_file, canvas)
+    return canvas
