@@ -121,6 +121,38 @@ def test_kv_cache_decode_matches_full_recompute():
     np.testing.assert_array_equal(fast.argmax(-1), slow.argmax(-1))
 
 
+def test_early_exit_decode_matches_full():
+    """while_loop early-exit greedy must reproduce the scan decode on every
+    step up to (and including) each row's first EOS."""
+    rec, variables = _tiny_nrtr()
+    batch = _make_batch(rec)
+    img, vr = batch['img'], batch['valid_ratio']
+    lc = rec.label_convertor
+
+    from tps_pp_tpu.models.decoders.base import greedy_decode
+    feat, out_enc = rec.module.apply(variables, img, vr,
+                                     method='encode_full')
+
+    def apply(m, *a):
+        return rec.module.apply(variables, *a, method=m)
+
+    full = np.asarray(greedy_decode(apply, feat, out_enc, vr,
+                                    max_seq_len=rec.max_seq_len,
+                                    start_idx=lc.start_idx))
+    fast = np.asarray(greedy_decode(apply, feat, out_enc, vr,
+                                    max_seq_len=rec.max_seq_len,
+                                    start_idx=lc.start_idx,
+                                    end_idx=lc.end_idx))
+    # decoded strings identical
+    fi, _ = lc.tensor2idx(full)
+    gi, _ = lc.tensor2idx(fast)
+    assert lc.idx2str(fi) == lc.idx2str(gi)
+    # executed steps agree exactly wherever the fast buffer is non-zero
+    executed = np.abs(fast).sum(-1) > 0
+    np.testing.assert_allclose(fast[executed], full[executed], rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_crnn_shapes():
     cfg = dict(
         type='CRNNNet',

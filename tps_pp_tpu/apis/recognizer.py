@@ -74,6 +74,9 @@ class TextRecognizer:
         self.loss_obj = MODELS.build(loss_cfg)
         self.autoregressive = getattr(type(decoder), 'IS_AUTOREGRESSIVE',
                                       False)
+        # stop the decode loop once every row emitted EOS (semantics
+        # preserved — the codec ignores everything after the first EOS)
+        self.early_exit = bool(cfg.get('early_exit', True))
 
         self._predict_jit = None
 
@@ -117,7 +120,9 @@ class TextRecognizer:
             return greedy_decode(
                 decoder_apply, feat, out_enc, valid_ratio,
                 max_seq_len=self.max_seq_len,
-                start_idx=self.label_convertor.start_idx)
+                start_idx=self.label_convertor.start_idx,
+                end_idx=(self.label_convertor.end_idx
+                         if self.early_exit else None))
         return self.module.apply(variables, img, valid_ratio,
                                  method='forward_test_nar')
 

@@ -20,21 +20,53 @@ import jax.numpy as jnp
 
 
 def greedy_decode(apply_method, feat, out_enc, valid_ratio, *,
-                  max_seq_len: int, start_idx: int):
+                  max_seq_len: int, start_idx: int, end_idx=None):
     """apply_method(name, *args) dispatches to the bound decoder module.
 
     Returns (N, max_seq_len, C') per-step softmax probabilities — the same
     stacked outputs the reference's greedy loops produce.
+
+    With ``end_idx`` given, decoding runs under ``lax.while_loop`` and exits
+    as soon as every row has emitted EOS — semantics-preserving (the codecs
+    stop reading at the first EOS, reference attn.py:132-138, so steps after
+    it are dead) but typically ~4x fewer steps than the reference's fixed
+    40-iteration loop on real text.
     """
     N = (feat.shape[0] if feat is not None else out_enc.shape[0])
     carry, static = apply_method('decode_init', feat, out_enc, valid_ratio)
+    tokens0 = jnp.full((N,), start_idx, dtype=jnp.int32)
 
-    def step(sc, t):
-        token, carry = sc
+    if end_idx is None:
+        def step(sc, t):
+            token, carry = sc
+            probs, carry = apply_method('decode_step', token, t, carry,
+                                        static)
+            nxt = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            return (nxt, carry), probs
+
+        _, probs = jax.lax.scan(step, (tokens0, carry),
+                                jnp.arange(max_seq_len))
+        return jnp.swapaxes(probs, 0, 1)
+
+    # early-exit variant: fill a preallocated buffer until all rows hit EOS
+    probs_shape = jax.eval_shape(
+        lambda c: apply_method('decode_step', tokens0, 0, c, static)[0],
+        carry)
+    buf = jnp.zeros((max_seq_len,) + probs_shape.shape, jnp.float32)
+
+    def cond(state):
+        t, _, _, done, _ = state
+        return jnp.logical_and(t < max_seq_len, ~jnp.all(done))
+
+    def body(state):
+        t, token, carry, done, buf = state
         probs, carry = apply_method('decode_step', token, t, carry, static)
+        buf = jax.lax.dynamic_update_index_in_dim(buf, probs, t, axis=0)
         nxt = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-        return (nxt, carry), probs
+        done = done | (nxt == end_idx)
+        return t + 1, nxt, carry, done, buf
 
-    init = (jnp.full((N,), start_idx, dtype=jnp.int32), carry)
-    _, probs = jax.lax.scan(step, init, jnp.arange(max_seq_len))
-    return jnp.swapaxes(probs, 0, 1)
+    state = (jnp.zeros((), jnp.int32), tokens0, carry,
+             jnp.zeros((N,), bool), buf)
+    _, _, _, _, buf = jax.lax.while_loop(cond, body, state)
+    return jnp.swapaxes(buf, 0, 1)

@@ -81,42 +81,42 @@ class NRTRDecoder(nn.Module):
 
     # ---- generic AR protocol ------------------------------------------
     def decode_init(self, feat, out_enc, valid_ratio=None):
-        """carry = per-layer self-attn KV caches; static = (enc K/V per
-        layer, encoder valid mask)."""
+        """carry = per-layer self-attn KV caches (a tuple per layer, so XLA
+        updates each buffer in place inside the decode loop); static =
+        (enc K/V per layer, encoder valid mask)."""
         N = out_enc.shape[0]
         T = self.max_seq_len + 1
         enc_kvs = tuple(layer.project_enc_kv(out_enc)
                         for layer in self.layer_stack)
-        self_k = jnp.zeros((self.n_layers, N, self.n_head, T, self.d_k),
-                           self.dtype)
-        self_v = jnp.zeros((self.n_layers, N, self.n_head, T, self.d_v),
-                           self.dtype)
+        caches = tuple(
+            (jnp.zeros((N, self.n_head, T, self.d_k), self.dtype),
+             jnp.zeros((N, self.n_head, T, self.d_v), self.dtype))
+            for _ in range(self.n_layers))
         src_mask = sequence_mask(valid_ratio, out_enc.shape[1])
-        return (self_k, self_v), (enc_kvs, src_mask)
+        return caches, (enc_kvs, src_mask)
 
     def decode_step(self, token, t, carry, static):
         """token: (N,) int32; t: scalar step. Returns (probs (N, C-1),
         carry)."""
-        self_k, self_v = carry
         enc_kvs, src_mask = static
         x = self._embed(token[:, None], train=False, offset=t)
         T = self.max_seq_len + 1
         pos_mask = (jnp.arange(T)[None, :] <= t).astype(jnp.float32)
-        for i, layer in enumerate(self.layer_stack):
+        new_caches = []
+        for layer, (ck, cv), (enc_k, enc_v) in zip(self.layer_stack, carry,
+                                                   enc_kvs):
             k_t, v_t = layer.project_self_kv_for_cache(x)
-            new_k = jax.lax.dynamic_update_slice_in_dim(
-                self_k[i], k_t.astype(self_k.dtype), t, axis=2)
-            new_v = jax.lax.dynamic_update_slice_in_dim(
-                self_v[i], v_t.astype(self_v.dtype), t, axis=2)
-            self_k = self_k.at[i].set(new_k)
-            self_v = self_v.at[i].set(new_v)
-            enc_k, enc_v = enc_kvs[i]
-            x = layer.call_step(x, new_k, new_v, pos_mask, enc_k, enc_v,
+            ck = jax.lax.dynamic_update_slice_in_dim(
+                ck, k_t.astype(ck.dtype), t, axis=2)
+            cv = jax.lax.dynamic_update_slice_in_dim(
+                cv, v_t.astype(cv.dtype), t, axis=2)
+            new_caches.append((ck, cv))
+            x = layer.call_step(x, ck, cv, pos_mask, enc_k, enc_v,
                                 src_mask, deterministic=True)
         x = self.layer_norm(x)
         logits = self.classifier(x[:, 0])
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        return probs, (self_k, self_v)
+        return probs, tuple(new_caches)
 
 
 # SATRN's decoder config name (reference configs/_base_/recog_models/
