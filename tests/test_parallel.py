@@ -1,0 +1,101 @@
+"""Mesh/sharding tests on the 8-virtual-CPU-device harness
+(what the reference never had: SURVEY §4 'no distributed test')."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tps_pp_tpu.models  # noqa: F401
+import tps_pp_tpu.losses  # noqa: F401
+from tps_pp_tpu.apis.recognizer import build_recognizer
+from tps_pp_tpu.parallel import (TrainState, build_optimizer, create_mesh,
+                                 make_lr_schedule, make_train_step,
+                                 param_sharding, shard_state)
+
+
+def _tiny_cfg():
+    return dict(
+        type='NRTR',
+        label_convertor=dict(type='AttnConvertor', dict_type='DICT36',
+                             with_unknown=True),
+        backbone=dict(type='ResNetABI_v2_large', in_channels=3,
+                      stem_channels=4, base_channels=4,
+                      arch_settings=[1, 1, 1, 1, 1], strides=[1, 2, 2, 1, 2]),
+        encoder=dict(type='NRTREncoder', n_layers=1, n_head=2, d_k=8, d_v=8,
+                     d_model=64, d_inner=64, dropout=0.0),
+        decoder=dict(type='NRTRDecoder', n_layers=1, d_embedding=64, n_head=2,
+                     d_model=64, d_inner=64, d_k=8, d_v=8),
+        loss=dict(type='TFLoss'),
+        max_seq_len=6,
+    )
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8, 'conftest must force 8 CPU devices'
+    mesh = create_mesh(data=4, model=2)
+    assert dict(mesh.shape) == {'data': 4, 'model': 2}
+    mesh = create_mesh()
+    assert dict(mesh.shape) == {'data': 8, 'model': 1}
+
+
+def test_tp_param_rules():
+    rec = build_recognizer(_tiny_cfg())
+    variables = rec.init_variables(jax.random.PRNGKey(0), (2, 16, 64, 3))
+    mesh = create_mesh(data=4, model=2)
+    shardings = param_sharding(variables['params'], mesh)
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    specs = {'/'.join(getattr(p, 'key', str(p)) for p in path): s.spec
+             for path, s in flat}
+    qkv = [s for name, s in specs.items()
+           if 'linear_q/kernel' in name or 'w_1/kernel' in name]
+    assert qkv, 'no attention kernels found'
+    assert all(tuple(s) == (None, 'model') for s in qkv), qkv
+    fc = [s for name, s in specs.items()
+          if name.endswith('fc/kernel') or name.endswith('w_2/kernel')]
+    assert all(tuple(s) == ('model', None) for s in fc), fc
+    # conv kernels replicated
+    convs = [s for name, s in specs.items() if 'conv1/kernel' in name]
+    assert all(tuple(s) == () for s in convs)
+
+
+def test_sharded_train_step_runs():
+    rec = build_recognizer(_tiny_cfg())
+    variables = rec.init_variables(jax.random.PRNGKey(0), (8, 16, 64, 3))
+    tx, _ = build_optimizer(dict(type='Adam', lr=1e-3))
+    state = TrainState.create(variables, tx)
+    mesh = create_mesh(data=4, model=2)
+    with mesh:
+        state = shard_state(state, mesh)
+        step = make_train_step(rec, mesh=mesh)
+        td = rec.label_convertor.str2tensor(['ab'] * 8)
+        batch = {
+            'img': np.random.default_rng(0).standard_normal(
+                (8, 16, 64, 3)).astype(np.float32),
+            'valid_ratio': np.ones((8,), np.float32),
+            'padded_targets': np.asarray(td['padded_targets']),
+        }
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        l1 = float(metrics['loss'])
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        l2 = float(metrics['loss'])
+    assert np.isfinite(l1) and np.isfinite(l2)
+    assert int(state.step) == 2
+    # param sharding survived the update
+    qkv_leaf = None
+    flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    for path, leaf in flat:
+        name = '/'.join(getattr(p, 'key', str(p)) for p in path)
+        if 'linear_q/kernel' in name:
+            qkv_leaf = leaf
+            break
+    assert qkv_leaf is not None
+    assert tuple(qkv_leaf.sharding.spec) == (None, 'model')
+
+
+def test_lr_schedule():
+    sched = make_lr_schedule(1e-4, warmup_steps=10, warmup_ratio=1e-3,
+                             step_epochs=[8, 10], steps_per_epoch=100)
+    assert float(sched(0)) == pytest.approx(1e-7, rel=1e-2)
+    assert float(sched(10)) == pytest.approx(1e-4, rel=1e-3)
+    assert float(sched(850)) == pytest.approx(1e-5, rel=1e-3)
+    assert float(sched(1050)) == pytest.approx(1e-6, rel=1e-3)

@@ -40,7 +40,7 @@ def nrtr_tps_pp_cfg(dtype: str = 'float32', tiny: bool = False):
                       arch_settings=[3, 4, 6, 6, 3], strides=[1, 2, 2, 1, 2]),
         tpsnet=dict(type='TPS_PP', img_size=(16, 64),
                     rectified_img_size=(16, 64), num_img_channel=64,
-                    point_size=(2, 16), p_stride=2),
+                    point_size=(2, 16), p_stride=2, sample_mode='pallas'),
         encoder=dict(type='NRTREncoder', n_layers=6, n_head=8, d_k=64,
                      d_v=64, d_model=512, d_inner=1024, dropout=0.1),
         decoder=dict(type='NRTRDecoder', n_layers=6, d_embedding=512,

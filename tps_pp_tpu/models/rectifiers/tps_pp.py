@@ -257,7 +257,12 @@ class TPS_PP(nn.Module):
     num_img_channel: int = 64
     point_size: Tuple[int, int] = (2, 16)
     p_stride: int = 2
-    sample_mode: str = 'onehot'  # 'gather' | 'onehot' | 'pallas'
+    # 'pallas'  — fused kernel, VMEM-tiled (production path on TPU);
+    # 'onehot'  — gather-free XLA contractions (materializes an (N, n, W*C)
+    #             intermediate in HBM: fine at small batch, OOM at scale);
+    # 'gather'  — jnp gathers (reference-faithful fallback, any backend)
+    sample_mode: str = 'gather'
+    pallas_tile: int = 128
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -306,7 +311,7 @@ class TPS_PP(nn.Module):
             rect, mp_img = tps_grid_sample_fused(
                 feat_grid, batch_img, control_point.astype(jnp.float32),
                 pc_score.astype(jnp.float32), self.inv_delta_C, self.P_hat,
-                self.P, (Hr, Wr))
+                self.P, (Hr, Wr), tile=self.pallas_tile)
         else:
             grid = tps_ops.build_P_prime(
                 control_point.astype(jnp.float32),

@@ -31,23 +31,17 @@ from jax.experimental.pallas import tpu as pltpu
 THETA = 0.5  # score-modulation strength (reference thela, tps_pp.py:342)
 
 
-def _interp_rows(coords, size: int):
-    """(TILE,) clamped pixel coords -> (TILE, size) hat-function weights."""
-    c = jnp.clip(coords, 0.0, size - 1.0)
-    j = jax.lax.broadcasted_iota(jnp.float32, (coords.shape[0], size), 1)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(c[:, None] - j))
-
-
 def _kernel(cp_ref, score_ref, fg_ref, img_ref, inv_ref, phat_ref, p_ref,
             rect_ref, mp_ref, *, Hg, Wg, Hi, Wi, C, TILE):
-    # refs (leading batch-block dim of 1 dropped by indexing [0])
+    # refs (leading batch-block dim of 1 dropped by indexing [0]);
+    # feature maps arrive pre-flattened as (1, H*W, C) — Mosaic disallows
+    # in-kernel shape casts, so all math stays 2D.
     cp = cp_ref[0]                      # (F, 2)
     score = score_ref[0]                # (TILE, F)
     phat = phat_ref[0]                  # (TILE, F)
     p = p_ref[0]                        # (TILE, 2)
     inv = inv_ref[:]                    # (F+3, F+3)
 
-    F = cp.shape[0]
     # 1) T = inv_delta_C @ [C'; 0]
     cp_full = jnp.concatenate([cp, jnp.zeros((3, 2), jnp.float32)], axis=0)
     T = jnp.dot(inv, cp_full, preferred_element_type=jnp.float32)  # (F+3, 2)
@@ -59,17 +53,23 @@ def _kernel(cp_ref, score_ref, fg_ref, img_ref, inv_ref, phat_ref, p_ref,
     pprime = jnp.dot(phat_full, T,
                      preferred_element_type=jnp.float32)      # (TILE, 2)
 
-    # 3) bilinear sample both maps via interpolation-matrix contractions
+    # 3) bilinear sample both maps. The combined bilinear weight matrix
+    #    W2[p, h*W+w] = hat(gy_p - h) * hat(gx_p - w) is built directly
+    #    from an integer iota (elementwise, no reshape/gather), then one
+    #    (TILE, H*W) @ (H*W, C) matmul does the warp on the MXU.
     def sample(src_ref, H, W, out_ref):
         gx = (pprime[:, 0] + 1.0) * 0.5 * (W - 1)   # align_corners=True
         gy = (pprime[:, 1] + 1.0) * 0.5 * (H - 1)
-        ry = _interp_rows(gy, H)                     # (TILE, H)
-        rx = _interp_rows(gx, W)                     # (TILE, W)
-        src = src_ref[0].astype(jnp.float32).reshape(H, W * C)
-        tmp = jnp.dot(ry, src,
-                      preferred_element_type=jnp.float32)   # (TILE, W*C)
-        tmp = tmp.reshape(TILE, W, C)
-        out = jnp.sum(tmp * rx[:, :, None], axis=1)         # (TILE, C)
+        gx = jnp.clip(gx, 0.0, W - 1.0)              # border padding
+        gy = jnp.clip(gy, 0.0, H - 1.0)
+        kk = jax.lax.broadcasted_iota(jnp.int32, (TILE, H * W), 1)
+        h_idx = (kk // W).astype(jnp.float32)
+        w_idx = (kk % W).astype(jnp.float32)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(gy[:, None] - h_idx))
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(gx[:, None] - w_idx))
+        w2 = wy * wx                                  # (TILE, H*W)
+        src = src_ref[0].astype(jnp.float32)          # (H*W, C)
+        out = jnp.dot(w2, src, preferred_element_type=jnp.float32)
         out_ref[0] = out.astype(out_ref.dtype)
 
     sample(fg_ref, Hg, Wg, rect_ref)
@@ -112,9 +112,9 @@ def tps_grid_sample_fused(feat_grid: jax.Array, batch_img: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, Fd), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hg, Wg, C), lambda i, j: (i, 0, 0, 0),
+            pl.BlockSpec((1, Hg * Wg, C), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hi, Wi, C), lambda i, j: (i, 0, 0, 0),
+            pl.BlockSpec((1, Hi * Wi, C), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),       # inv_delta_C
             pl.BlockSpec((1, tile, Fd), lambda i, j: (0, j, 0),
@@ -139,6 +139,6 @@ def tps_grid_sample_fused(feat_grid: jax.Array, batch_img: jax.Array,
             2 * N * n * C * 4,
             transcendentals=0),
     )(control_point.astype(f32), pc_score.astype(f32),
-      feat_grid, batch_img, inv_delta_C.astype(f32),
-      P_hat.astype(f32)[None], P.astype(f32)[None])
+      feat_grid.reshape(N, Hg * Wg, C), batch_img.reshape(N, Hi * Wi, C),
+      inv_delta_C.astype(f32), P_hat.astype(f32)[None], P.astype(f32)[None])
     return (rect.reshape(N, Hr, Wr, C), mp.reshape(N, Hr, Wr, C))
