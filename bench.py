@@ -43,13 +43,20 @@ def main():
     vr = jnp.ones((batch,), jnp.float32)
 
     # full inference: extract_feat (TPS++ incl.) + encoder + greedy decode.
-    # NB: materialize on host each iter — block_until_ready alone is not a
-    # reliable completion barrier over the axon tunnel.
-    def run():
-        return np.asarray(rec.predict(variables, img, vr))
+    # Completion barrier: a fused on-device scalar reduction is materialized
+    # to host each iter (4 bytes) — block_until_ready is not reliable over
+    # the axon tunnel and shipping the full logits would time the tunnel,
+    # not the chip.
+    predict_sum = jax.jit(
+        lambda v, i, r: rec._predict_impl(v, i, r).astype(
+            jnp.float32).sum())
 
-    out = run()
+    def run():
+        return float(np.asarray(predict_sum(variables, img, vr)))
+
+    out = np.asarray(rec.predict(variables, img, vr))
     assert np.isfinite(out.astype(np.float32)).all()
+    assert np.isfinite(run())
     for _ in range(warmup - 1):
         run()
 

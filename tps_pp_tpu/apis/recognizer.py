@@ -77,6 +77,10 @@ class TextRecognizer:
         # stop the decode loop once every row emitted EOS (semantics
         # preserved — the codec ignores everything after the first EOS)
         self.early_exit = bool(cfg.get('early_exit', True))
+        # bucketed KV-cache reads during decode (see greedy_decode)
+        self.kv_bucket = (int(cfg.get('kv_bucket', 8))
+                          if getattr(type(decoder), 'SUPPORTS_KV_LIMIT',
+                                     False) else 0)
 
         self._predict_jit = None
 
@@ -122,7 +126,8 @@ class TextRecognizer:
                 max_seq_len=self.max_seq_len,
                 start_idx=self.label_convertor.start_idx,
                 end_idx=(self.label_convertor.end_idx
-                         if self.early_exit else None))
+                         if self.early_exit else None),
+                kv_bucket=self.kv_bucket)
         return self.module.apply(variables, img, valid_ratio,
                                  method='forward_test_nar')
 

@@ -26,6 +26,7 @@ from .base import greedy_decode  # noqa: F401  (re-export)
 @DECODERS.register_module()
 class NRTRDecoder(nn.Module):
     IS_AUTOREGRESSIVE = True
+    SUPPORTS_KV_LIMIT = True
 
     n_layers: int = 6
     d_embedding: int = 512
@@ -95,24 +96,41 @@ class NRTRDecoder(nn.Module):
         src_mask = sequence_mask(valid_ratio, out_enc.shape[1])
         return caches, (enc_kvs, src_mask)
 
-    def decode_step(self, token, t, carry, static):
+    def decode_step(self, token, t, carry, static, kv_limit=None):
         """token: (N,) int32; t: scalar step. Returns (probs (N, C-1),
-        carry)."""
+        carry).
+
+        ``kv_limit`` (static int) bounds how much of the KV cache this step's
+        attention reads — the bucketed decode passes the current bucket's
+        upper bound so early steps don't stream the whole 41-slot cache from
+        HBM (cache reads dominate decode time at large batch).
+        """
         enc_kvs, src_mask = static
         x = self._embed(token[:, None], train=False, offset=t)
         T = self.max_seq_len + 1
-        pos_mask = (jnp.arange(T)[None, :] <= t).astype(jnp.float32)
+        lim = T if kv_limit is None else min(kv_limit, T)
+        # (1, 1, 1, lim) multiplicative mask for _attend (0 = masked)
+        pos_mask = (jnp.arange(lim)[None, None, None, :] <= t).astype(
+            jnp.float32)
         new_caches = []
         for layer, (ck, cv), (enc_k, enc_v) in zip(self.layer_stack, carry,
                                                    enc_kvs):
-            k_t, v_t = layer.project_self_kv_for_cache(x)
+            # fused single-matmul QKV of norm1(x) (norm computed once)
+            y = layer.norm1(x)
+            q, k_t, v_t = layer.self_attn.qkv_fused(y)
             ck = jax.lax.dynamic_update_slice_in_dim(
                 ck, k_t.astype(ck.dtype), t, axis=2)
             cv = jax.lax.dynamic_update_slice_in_dim(
                 cv, v_t.astype(cv.dtype), t, axis=2)
             new_caches.append((ck, cv))
-            x = layer.call_step(x, ck, cv, pos_mask, enc_k, enc_v,
-                                src_mask, deterministic=True)
+            sa = layer.self_attn._attend(q, ck[:, :, :lim], cv[:, :, :lim],
+                                         pos_mask, True)
+            x = x + layer.self_attn.finish(sa)
+            y2 = layer.norm2(x)
+            x = x + layer.enc_attn.call_cached(y2, enc_k, enc_v,
+                                               mask=src_mask,
+                                               deterministic=True)
+            x = x + layer.mlp(layer.norm3(x), deterministic=True)
         x = self.layer_norm(x)
         logits = self.classifier(x[:, 0])
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)

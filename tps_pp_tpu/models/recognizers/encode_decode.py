@@ -74,8 +74,8 @@ class EncodeDecodeRecognizerModule(nn.Module):
     def decode_init(self, feat, out_enc, valid_ratio=None):
         return self.decoder.decode_init(feat, out_enc, valid_ratio)
 
-    def decode_step(self, token, t, carry, static):
-        return self.decoder.decode_step(token, t, carry, static)
+    def decode_step(self, token, t, carry, static, *args):
+        return self.decoder.decode_step(token, t, carry, static, *args)
 
 
 # Recognizer ``type=`` names are resolved by apis.recognizer.build_recognizer

@@ -138,6 +138,29 @@ class MultiHeadAttention(nn.Module):
         return (self._split(self.linear_k(x), self.d_k),
                 self._split(self.linear_v(x), self.d_v))
 
+    def qkv_fused(self, y):
+        """Q/K/V of a (N, 1, D) step in ONE matmul against the concatenated
+        kernels — decode-path optimization; parameters unchanged, so
+        checkpoint conversion is unaffected."""
+        pq = self.linear_q.variables['params']
+        pk = self.linear_k.variables['params']
+        pv = self.linear_v.variables['params']
+        W = jnp.concatenate([pq['kernel'], pk['kernel'], pv['kernel']],
+                            axis=1)
+        out = jnp.einsum('ntd,de->nte', y, W.astype(y.dtype),
+                         preferred_element_type=jnp.float32).astype(y.dtype)
+        if self.qkv_bias:
+            out = out + jnp.concatenate(
+                [pq['bias'], pk['bias'], pv['bias']]).astype(y.dtype)
+        dim_k = self.n_head * self.d_k
+        q, k, v = jnp.split(out, [dim_k, 2 * dim_k], axis=-1)
+        return (self._split(q, self.d_k), self._split(k, self.d_k),
+                self._split(v, self.d_v))
+
+    def finish(self, merged, deterministic: bool = True):
+        """Output projection + dropout over an _attend result."""
+        return self.proj_drop(self.fc(merged), deterministic=deterministic)
+
 
 class PositionwiseFeedForward(nn.Module):
     """w2(act(w1(x))) + dropout (reference transformer_module.py:101-126)."""
