@@ -30,8 +30,8 @@ def main():
     from tps_pp_tpu.apis.recognizer import build_recognizer
 
     batch = int(os.environ.get('BENCH_BATCH', '512'))
-    iters = int(os.environ.get('BENCH_ITERS', '10'))
-    warmup = int(os.environ.get('BENCH_WARMUP', '3'))
+    iters = int(os.environ.get('BENCH_ITERS', '4'))
+    warmup = int(os.environ.get('BENCH_WARMUP', '2'))
 
     rec = build_recognizer(nrtr_tps_pp_cfg(dtype='bfloat16'))
     h, w, c = FLAGSHIP_INPUT
@@ -43,19 +43,31 @@ def main():
     vr = jnp.ones((batch,), jnp.float32)
 
     # full inference: extract_feat (TPS++ incl.) + encoder + greedy decode.
-    # Completion barrier: a fused on-device scalar reduction is materialized
-    # to host each iter (4 bytes) — block_until_ready is not reliable over
-    # the axon tunnel and shipping the full logits would time the tunnel,
-    # not the chip.
-    predict_sum = jax.jit(
-        lambda v, i, r: rec._predict_impl(v, i, r).astype(
-            jnp.float32).sum())
+    # Measurement: run `inner` batches inside ONE jitted program and reduce
+    # to a scalar — (a) block_until_ready is not a reliable barrier over the
+    # axon tunnel, (b) per-dispatch tunnel latency (~30ms) would otherwise
+    # be billed to the chip. Each inner batch depends on the previous
+    # scalar, so nothing can be elided or overlapped dishonestly.
+    inner = int(os.environ.get('BENCH_INNER', '4'))
 
-    def run():
-        return float(np.asarray(predict_sum(variables, img, vr)))
+    @jax.jit
+    def run_many(v, i, r):
+        def body(acc, _):
+            # thread the carried scalar into the input so the compiler
+            # cannot hoist the loop-invariant batch out of the scan
+            img_t = i + (acc * 1e-30).astype(i.dtype)
+            s = rec._predict_impl(v, img_t, r).astype(jnp.float32).sum()
+            return s, ()
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                              length=inner)
+        return acc
 
     out = np.asarray(rec.predict(variables, img, vr))
     assert np.isfinite(out.astype(np.float32)).all()
+
+    def run():
+        return float(np.asarray(run_many(variables, img, vr)))
+
     assert np.isfinite(run())
     for _ in range(warmup - 1):
         run()
@@ -64,6 +76,7 @@ def main():
     for _ in range(iters):
         run()
     dt = time.perf_counter() - t0
+    iters = iters * inner
 
     ips = batch * iters / dt
     print(json.dumps({
