@@ -5,3 +5,4 @@ from .encoders import *  # noqa
 from .decoders import *  # noqa
 from .recognizers import *  # noqa
 from .fusers import ABIFuser
+from . import textdet, kie, ner  # noqa  (registry side effects)
