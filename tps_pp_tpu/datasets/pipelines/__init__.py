@@ -1,1 +1,1 @@
-from . import transforms, tps_aug, test_time_aug
+from . import transforms, tps_aug, test_time_aug, extras
