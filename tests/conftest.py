@@ -6,8 +6,10 @@ Must run before jax is imported anywhere — pytest imports conftest first.
 import os
 import sys
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-os.environ.setdefault('JAX_PLATFORM_NAME', 'cpu')  # this build ignores JAX_PLATFORMS
+# force CPU (the environment presets JAX_PLATFORMS=axon, so a setdefault
+# would silently leave the suite on the TPU tunnel)
+os.environ['JAX_PLATFORMS'] = 'cpu'
+os.environ['JAX_PLATFORM_NAME'] = 'cpu'
 # XLA compiles are slow on this host; persist them across pytest runs
 _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), '.jax_cache')
@@ -26,4 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # honored by this jax build, so set the config directly.
 import jax  # noqa: E402
 
+# the axon plugin overrides JAX_PLATFORMS/JAX_PLATFORM_NAME env vars; only
+# the config API reliably selects the CPU backend here
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_default_matmul_precision', 'highest')
+assert len(jax.devices()) == 8, (
+    f'expected 8 virtual CPU devices, got {jax.devices()}')
