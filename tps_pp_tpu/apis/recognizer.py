@@ -81,6 +81,10 @@ class TextRecognizer:
         self.kv_bucket = (int(cfg.get('kv_bucket', 8))
                           if getattr(type(decoder), 'SUPPORTS_KV_LIMIT',
                                      False) else 0)
+        # beam search (reference: ParallelSARDecoderWithBS) — the decoder
+        # config's beam_width, overridable at the model level
+        self.beam_width = int(cfg.get(
+            'beam_width', getattr(decoder, 'beam_width', 1) or 1))
 
         self._predict_jit = None
 
@@ -121,6 +125,13 @@ class TextRecognizer:
             def decoder_apply(method, *args):
                 return self.module.apply(variables, *args, method=method)
 
+            if self.beam_width > 1:
+                from ..models.decoders.base import beam_decode
+                return beam_decode(
+                    decoder_apply, feat, out_enc, valid_ratio,
+                    max_seq_len=self.max_seq_len,
+                    start_idx=self.label_convertor.start_idx,
+                    beam_width=self.beam_width)
             return greedy_decode(
                 decoder_apply, feat, out_enc, valid_ratio,
                 max_seq_len=self.max_seq_len,

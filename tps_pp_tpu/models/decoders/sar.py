@@ -134,3 +134,22 @@ class ParallelSARDecoder(nn.Module):
         out = self._predict(y, glimpse, out_enc, train=False)[:, 0]
         probs = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
         return probs, (h0, c0, h1, c1)
+
+
+@DECODERS.register_module()
+class SequentialSARDecoder(ParallelSARDecoder):
+    """Reference ``SequentialSARDecoder`` (sar_decoder.py:259-478) runs the
+    same 2D-attention decode with per-step LSTMCells; our parallel decoder's
+    AR path already IS the carried-state sequential form, so the behaviors
+    coincide (the reference classes differ mainly in parameter naming:
+    LSTMCell pairs vs a 2-layer LSTM, and 1x1-conv vs linear attention
+    projections — mapped in the checkpoint converter)."""
+
+
+@DECODERS.register_module()
+class ParallelSARDecoderWithBS(ParallelSARDecoder):
+    """SAR beam-search decoder (reference ``sar_decoder_with_bs.py``).
+    Decoding runs through decoders.base.beam_decode — a vectorized jitted
+    beam search with the reference's additive-softmax-score ranking,
+    without its batch-size-1 restriction."""
+    beam_width: int = 5
