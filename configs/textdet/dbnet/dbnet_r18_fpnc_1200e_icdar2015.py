@@ -1,0 +1,12 @@
+# DBNet text detection (reference configs/textdet/dbnet/...)
+model = dict(
+    type='DBNet',
+    backbone=dict(type='ResNetDet', stage_blocks=[2, 2, 2, 2],
+                  base_channels=64),
+    neck=dict(type='FPNC', in_channels=[64, 128, 256, 512],
+              lateral_channels=256, out_channels=64),
+    head=dict(type='DBHead', in_channels=256, k=50),
+    loss=dict(type='DBLoss', alpha=5.0, beta=10.0, negative_ratio=3.0),
+    postprocessor=dict(type='DBPostprocessor', text_repr_type='quad'))
+optimizer = dict(type='SGD', lr=0.007, momentum=0.9, weight_decay=0.0001)
+total_epochs = 1200
