@@ -44,6 +44,12 @@ def train_recognizer(rec, train_dataset, cfg: Dict,
 
     if mesh is None and len(jax.devices()) > 1:
         mesh = create_mesh()
+    if mesh is not None:
+        n_data = mesh.shape['data']
+        if batch_size % n_data:
+            batch_size = ((batch_size + n_data - 1) // n_data) * n_data
+            logger.info('batch size rounded up to %d (multiple of the '
+                        "mesh's %d-way data axis)", batch_size, n_data)
     loader = DataLoader(train_dataset, batch_size, shuffle=True, seed=seed)
     steps_per_epoch = len(loader)
 

@@ -55,6 +55,12 @@ def convert_module(state_dict: Dict[str, np.ndarray], torch_prefix: str,
         out.append(('params', f'{flax_path}/kernel', t_conv(g('weight'))))
         if kind == 'conv':
             out.append(('params', f'{flax_path}/bias', g('bias')))
+    elif kind in ('conv1x1_as_dense', 'conv1x1_as_dense_nobias'):
+        # torch Conv2d(I, O, 1) used where we have a Dense: (O,I,1,1)->(I,O)
+        out.append(('params', f'{flax_path}/kernel',
+                    np.transpose(g('weight')[:, :, 0, 0], (1, 0))))
+        if kind == 'conv1x1_as_dense':
+            out.append(('params', f'{flax_path}/bias', g('bias')))
     elif kind in ('linear', 'linear_nobias'):
         out.append(('params', f'{flax_path}/kernel', t_linear(g('weight'))))
         if kind == 'linear':
@@ -193,12 +199,119 @@ def crnn_rules() -> List[Tuple[str, str, str]]:
     return rules
 
 
+def _tf_encoder_layer_rules(tp, fp):
+    """reference TFEncoderLayer (transformer_layers.py:9-53)."""
+    return [
+        (f'{tp}.attn.linear_q', f'{fp}/attn/linear_q', 'linear_nobias'),
+        (f'{tp}.attn.linear_k', f'{fp}/attn/linear_k', 'linear_nobias'),
+        (f'{tp}.attn.linear_v', f'{fp}/attn/linear_v', 'linear_nobias'),
+        (f'{tp}.attn.fc', f'{fp}/attn/fc', 'linear_nobias'),
+        (f'{tp}.norm1', f'{fp}/norm1', 'ln'),
+        (f'{tp}.norm2', f'{fp}/norm2', 'ln'),
+        (f'{tp}.mlp.w_1', f'{fp}/mlp/w_1', 'linear'),
+        (f'{tp}.mlp.w_2', f'{fp}/mlp/w_2', 'linear'),
+    ]
+
+
+def _tf_decoder_layer_rules(tp, fp):
+    """reference TFDecoderLayer (transformer_layers.py:76-130)."""
+    rules = []
+    for attn in ('self_attn', 'enc_attn'):
+        rules += [
+            (f'{tp}.{attn}.linear_q', f'{fp}/{attn}/linear_q',
+             'linear_nobias'),
+            (f'{tp}.{attn}.linear_k', f'{fp}/{attn}/linear_k',
+             'linear_nobias'),
+            (f'{tp}.{attn}.linear_v', f'{fp}/{attn}/linear_v',
+             'linear_nobias'),
+            (f'{tp}.{attn}.fc', f'{fp}/{attn}/fc', 'linear_nobias'),
+        ]
+    rules += [
+        (f'{tp}.norm1', f'{fp}/norm1', 'ln'),
+        (f'{tp}.norm2', f'{fp}/norm2', 'ln'),
+        (f'{tp}.norm3', f'{fp}/norm3', 'ln'),
+        (f'{tp}.mlp.w_1', f'{fp}/mlp/w_1', 'linear'),
+        (f'{tp}.mlp.w_2', f'{fp}/mlp/w_2', 'linear'),
+    ]
+    return rules
+
+
+def tps_pp_rules(prefix='tpsnet', fp='tpsnet'):
+    """TPS_PP module map (reference tps_pp.py:499-626 names -> ours)."""
+    rules = []
+    for name in ('down0', 'down1', 'down2', 'down0_1', 'down1_1',
+                 'down_feat'):
+        rules.append((f'{prefix}.{name}.conv', f'{fp}/{name}/conv', 'conv'))
+    # MSFA encoder/decoder ConvModules (tps_pp.py:94-119)
+    for i in range(4):
+        rules.append((f'{prefix}.MSFA.conv.k_encoder.{i}.conv',
+                      f'{fp}/MSFA/enc{i}/conv', 'conv'))
+    for i in range(3):
+        rules.append((f'{prefix}.MSFA.conv.k_decoder.{i}.1.conv',
+                      f'{fp}/MSFA/dec{i}/conv', 'conv'))
+    rules.append((f'{prefix}.MSFA.conv.k_decoder.3.1.conv',
+                  f'{fp}/MSFA/dec3/conv', 'conv'))
+    # CBAM (tps_pp.py:27-82)
+    at, af = f'{prefix}.MSFA.conv.atten', f'{fp}/MSFA/atten'
+    rules += [
+        (f'{at}.channel_attention.shared_MLP.0',
+         f'{af}/channel_attention/fc1', 'conv1x1_as_dense_nobias'),
+        (f'{at}.channel_attention.shared_MLP.2',
+         f'{af}/channel_attention/fc2', 'conv1x1_as_dense_nobias'),
+        (f'{at}.spatial_attention.conv2d',
+         f'{af}/spatial_attention/conv', 'conv'),
+    ]
+    # TPE (tps_pp.py:231-325) + DGAB (DGAB.py)
+    tpe, tf = f'{prefix}.TPE', f'{fp}/TPE'
+    rules += [
+        (f'{tpe}.atten.0.norm1', f'{tf}/atten0/norm1', 'ln'),
+        (f'{tpe}.atten.0.norm2', f'{tf}/atten0/norm2', 'ln'),
+        (f'{tpe}.atten.0.attn.mlp_w.0', f'{tf}/atten0/attn/mlp_w',
+         'linear_nobias'),
+        (f'{tpe}.atten.0.attn.mlp_h.0', f'{tf}/atten0/attn/mlp_h',
+         'linear_nobias'),
+        (f'{tpe}.atten.0.attn.proj', f'{tf}/atten0/attn/proj', 'linear'),
+        (f'{tpe}.atten.0.mlp.fc1', f'{tf}/atten0/mlp_fc1', 'linear'),
+        (f'{tpe}.atten.0.mlp.fc2', f'{tf}/atten0/mlp_fc2', 'linear'),
+        (f'{tpe}.localization_fc1.0', f'{tf}/loc_fc1_0', 'linear'),
+        (f'{tpe}.localization_fc1.2', f'{tf}/loc_fc1_1', 'linear'),
+        (f'{tpe}.localization_fc2', f'{tf}/loc_fc2', 'linear'),
+        (f'{tpe}.p_linear.0', f'{tf}/p_linear_0', 'linear'),
+        (f'{tpe}.p_linear.1', f'{tf}/p_linear_1', 'linear'),
+        (f'{tpe}.feat_linear.0', f'{tf}/feat_linear_0', 'linear'),
+        (f'{tpe}.feat_linear.1', f'{tf}/feat_linear_1', 'linear'),
+    ]
+    return rules
+
+
+def nrtr_tps_pp_rules(n_enc=6, n_dec=6, arch=(3, 4, 6, 6, 3)):
+    """Complete name map for the flagship NRTR+TPS++ checkpoint
+    (reference configs/textrecog/nrtr/nrtr_tps++.py model)."""
+    rules = resnet_abi_rules('backbone', 'backbone', arch)
+    rules += tps_pp_rules('tpsnet', 'tpsnet')
+    for i in range(n_enc):
+        rules += _tf_encoder_layer_rules(f'encoder.layer_stack.{i}',
+                                         f'encoder/layer{i}')
+    rules.append(('encoder.layer_norm', 'encoder/layer_norm', 'ln'))
+    for i in range(n_dec):
+        rules += _tf_decoder_layer_rules(f'decoder.layer_stack.{i}',
+                                         f'decoder/layer_stack_{i}')
+    rules += [
+        ('decoder.trg_word_emb', 'decoder/trg_word_emb', 'embed'),
+        ('decoder.layer_norm', 'decoder/layer_norm', 'ln'),
+        ('decoder.classifier', 'decoder/classifier', 'linear'),
+    ]
+    return rules
+
+
 def filter_rules_to_state(rules, state_dict):
     """Drop rules whose torch keys are absent (e.g. downsample-less
     blocks)."""
     kept = []
     for tp, fp, kind in rules:
         probe = {'conv': 'weight', 'conv_nobias': 'weight',
+                 'conv1x1_as_dense': 'weight',
+                 'conv1x1_as_dense_nobias': 'weight',
                  'linear': 'weight', 'linear_nobias': 'weight',
                  'bn': 'weight', 'ln': 'weight', 'embed': 'weight',
                  'lstm': 'weight_ih_l0', 'lstm_reverse': 'weight_ih_l0_reverse',
