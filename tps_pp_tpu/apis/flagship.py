@@ -45,7 +45,7 @@ def nrtr_tps_pp_cfg(dtype: str = 'float32', tiny: bool = False):
                      d_v=64, d_model=512, d_inner=1024, dropout=0.1),
         decoder=dict(type='NRTRDecoder', n_layers=6, d_embedding=512,
                      n_head=8, d_model=512, d_inner=1024, d_k=64, d_v=64,
-                     n_position=200),
+                     n_position=200, use_fused_step=True),
         loss=dict(type='TFLoss'),
         max_seq_len=40,
     )

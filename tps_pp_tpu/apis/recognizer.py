@@ -77,10 +77,13 @@ class TextRecognizer:
         # stop the decode loop once every row emitted EOS (semantics
         # preserved — the codec ignores everything after the first EOS)
         self.early_exit = bool(cfg.get('early_exit', True))
-        # bucketed KV-cache reads during decode (see greedy_decode)
+        # bucketed KV-cache reads during decode (see greedy_decode);
+        # pointless when the fused step kernels are on (they mask in-kernel)
         self.kv_bucket = (int(cfg.get('kv_bucket', 8))
                           if getattr(type(decoder), 'SUPPORTS_KV_LIMIT',
-                                     False) else 0)
+                                     False) and
+                          not getattr(decoder, 'use_fused_step', False)
+                          else 0)
         # beam search (reference: ParallelSARDecoderWithBS) — the decoder
         # config's beam_width, overridable at the model level
         self.beam_width = int(cfg.get(

@@ -41,6 +41,11 @@ class NRTRDecoder(nn.Module):
     max_seq_len: int = 40
     start_idx: int = 1
     padding_idx: int = 92
+    # fuse each layer's decode step into two Pallas kernels (TPU serving
+    # path — the decode loop is op-launch-bound on this runtime, see
+    # ops/pallas_decode.py). Requires qkv_bias=False (NRTR default) and
+    # d_k == d_v.
+    use_fused_step: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -106,6 +111,8 @@ class NRTRDecoder(nn.Module):
         HBM (cache reads dominate decode time at large batch).
         """
         enc_kvs, src_mask = static
+        if self.use_fused_step:
+            return self._fused_decode_step(token, t, carry, static)
         x = self._embed(token[:, None], train=False, offset=t)
         T = self.max_seq_len + 1
         lim = T if kv_limit is None else min(kv_limit, T)
@@ -132,6 +139,42 @@ class NRTRDecoder(nn.Module):
                                                deterministic=True)
             x = x + layer.mlp(layer.norm3(x), deterministic=True)
         x = self.layer_norm(x)
+        logits = self.classifier(x[:, 0])
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return probs, tuple(new_caches)
+
+    def _fused_decode_step(self, token, t, carry, static):
+        """decode_step through the fused Pallas kernels
+        (ops/pallas_decode.py) — same math, ~10x fewer ops per step."""
+        from ...ops.pallas_decode import cross_ffn_step, self_attn_step
+        enc_kvs, src_mask = static
+        x = self._embed(token[:, None], train=False, offset=t)[:, 0]
+        N = x.shape[0]
+        if src_mask is None:
+            src_mask = jnp.ones((N, enc_kvs[0][0].shape[2]), jnp.float32)
+        new_caches = []
+        for layer, (ck, cv), (enc_k, enc_v) in zip(self.layer_stack, carry,
+                                                   enc_kvs):
+            sa, ca = layer.self_attn, layer.enc_attn
+
+            def k(m):
+                return m.variables['params']['kernel']
+
+            wqkv = jnp.concatenate([k(sa.linear_q), k(sa.linear_k),
+                                    k(sa.linear_v)], axis=1)
+            n1 = layer.norm1.variables['params']
+            x, ck, cv = self_attn_step(
+                x, ck, cv, t, wqkv, k(sa.fc), n1['scale'], n1['bias'])
+            new_caches.append((ck, cv))
+            n2 = layer.norm2.variables['params']
+            n3 = layer.norm3.variables['params']
+            m = layer.mlp.variables['params']
+            x = cross_ffn_step(
+                x, enc_k, enc_v, src_mask, k(ca.linear_q), k(ca.fc),
+                n2['scale'], n2['bias'], m['w_1']['kernel'],
+                m['w_1']['bias'], m['w_2']['kernel'], m['w_2']['bias'],
+                n3['scale'], n3['bias'])
+        x = self.layer_norm(x[:, None])
         logits = self.classifier(x[:, 0])
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return probs, tuple(new_caches)
