@@ -43,9 +43,15 @@ def nrtr_tps_pp_cfg(dtype: str = 'float32', tiny: bool = False):
                     point_size=(2, 16), p_stride=2, sample_mode='pallas'),
         encoder=dict(type='NRTREncoder', n_layers=6, n_head=8, d_k=64,
                      d_v=64, d_model=512, d_inner=1024, dropout=0.1),
+        # use_fused_step=False: the fused pallas decode step
+        # (ops/pallas_decode.py) compiles and matches numerically, but
+        # pallas round-trips the whole KV-cache block HBM->VMEM->HBM per
+        # step (2x cache traffic vs XLA's in-place slice update), which
+        # costs more than the saved op launches — 2.3k vs 4.0k img/s
+        # measured. Kept for the op-bound regime (small batch serving).
         decoder=dict(type='NRTRDecoder', n_layers=6, d_embedding=512,
                      n_head=8, d_model=512, d_inner=1024, d_k=64, d_v=64,
-                     n_position=200, use_fused_step=True),
+                     n_position=200, use_fused_step=False),
         loss=dict(type='TFLoss'),
         max_seq_len=40,
     )

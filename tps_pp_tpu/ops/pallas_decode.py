@@ -38,6 +38,18 @@ def _fit_tile(n: int, bt: int) -> int:
     return bt
 
 
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 polynomial erf (max err 1.5e-7 — below bf16
+    resolution); Mosaic lowers neither erf nor erfc."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
 def _layernorm(x, scale, bias, eps=1e-6):  # flax LN default
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -62,19 +74,25 @@ def _self_attn_kernel(t_ref, x_ref, wqkv_ref, wfc_ref, ln_s_ref, ln_b_ref,
         q_h = qkv[:, h * DK:(h + 1) * DK] * scale           # (BT, DK)
         k_h = qkv[:, HD + h * DK:HD + (h + 1) * DK]
         v_h = qkv[:, 2 * HD + h * DK:2 * HD + (h + 1) * DK]
-        # append to cache (in-place: cko/cvo alias ck/cv)
-        cko_ref[:, h, pl.ds(t, 1), :] = k_h.astype(
-            cko_ref.dtype)[:, None, :]
-        cvo_ref[:, h, pl.ds(t, 1), :] = v_h.astype(
-            cvo_ref.dtype)[:, None, :]
-        ck_h = cko_ref[:, h, :, :].astype(jnp.float32)      # (BT, T, DK)
-        cv_h = cvo_ref[:, h, :, :].astype(jnp.float32)
-        scores = jnp.sum(q_h[:, None, :] * ck_h, axis=-1)   # (BT, T)
+        # append to cache via a one-hot masked full-block write (Mosaic
+        # rejects dynamic-slice stores into 4D refs; the block is staged
+        # through VMEM in full either way, so this costs nothing extra)
+        bt = k_h.shape[0]
+        slot = (jax.lax.broadcasted_iota(jnp.int32, (bt, T, DK), 1) == t)
+        k3 = jax.lax.broadcast_in_dim(k_h, (bt, T, DK), (0, 2))
+        v3 = jax.lax.broadcast_in_dim(v_h, (bt, T, DK), (0, 2))
+        ck_h = jnp.where(slot, k3, ck_ref[:, h, :, :].astype(jnp.float32))
+        cv_h = jnp.where(slot, v3, cv_ref[:, h, :, :].astype(jnp.float32))
+        cko_ref[:, h, :, :] = ck_h.astype(cko_ref.dtype)
+        cvo_ref[:, h, :, :] = cv_h.astype(cvo_ref.dtype)
+        q3 = jax.lax.broadcast_in_dim(q_h, (bt, T, DK), (0, 2))
+        scores = jnp.sum(q3 * ck_h, axis=-1)                # (BT, T)
         scores = jnp.where(key_mask, scores, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         w = e / jnp.sum(e, axis=-1, keepdims=True)
-        out_h = jnp.sum(w[:, :, None] * cv_h, axis=1)       # (BT, DK)
+        w3 = jax.lax.broadcast_in_dim(w, (bt, T, DK), (0, 1))
+        out_h = jnp.sum(w3 * cv_h, axis=1)                  # (BT, DK)
         out_cols.append(out_h)
     merged = jnp.concatenate(out_cols, axis=-1)             # (BT, D)
     proj = jnp.dot(merged.astype(jnp.bfloat16), wfc_ref[:],
@@ -84,7 +102,7 @@ def _self_attn_kernel(t_ref, x_ref, wqkv_ref, wfc_ref, ln_s_ref, ln_b_ref,
 
 @functools.partial(jax.jit, static_argnames=('bt', 'interpret'))
 def self_attn_step(x, ck, cv, t, wqkv, wfc, ln_scale, ln_bias,
-                   bt: int = 128, interpret: bool = False):
+                   bt: int = 64, interpret: bool = False):
     """One fused self-attention decode step.
 
     x (N, D) bf16; ck/cv (N, H, T, DK) caches (updated in place);
@@ -132,6 +150,8 @@ def self_attn_step(x, ck, cv, t, wqkv, wfc, ln_scale, ln_bias,
             jax.ShapeDtypeStruct(cv.shape, cv.dtype),
         ],
         input_output_aliases={6: 1, 7: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(t_arr, x, wqkv.astype(jnp.bfloat16), wfc.astype(jnp.bfloat16),
       ln_scale.astype(jnp.float32).reshape(1, -1),
@@ -150,14 +170,17 @@ def _cross_ffn_kernel(x_ref, ek_ref, ev_ref, mask_ref, wq_ref, wfc_ref,
     out_cols = []
     for h in range(H):
         q_h = q[:, h * DK:(h + 1) * DK] * scale
+        bt = q_h.shape[0]
         ek_h = ek_ref[:, h, :, :].astype(jnp.float32)         # (BT, TE, DK)
         ev_h = ev_ref[:, h, :, :].astype(jnp.float32)
-        scores = jnp.sum(q_h[:, None, :] * ek_h, axis=-1)     # (BT, TE)
+        q3 = jax.lax.broadcast_in_dim(q_h, (bt, TE, DK), (0, 2))
+        scores = jnp.sum(q3 * ek_h, axis=-1)                  # (BT, TE)
         scores = jnp.where(valid, scores, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         w = e / jnp.sum(e, axis=-1, keepdims=True)
-        out_cols.append(jnp.sum(w[:, :, None] * ev_h, axis=1))
+        w3 = jax.lax.broadcast_in_dim(w, (bt, TE, DK), (0, 1))
+        out_cols.append(jnp.sum(w3 * ev_h, axis=1))
     merged = jnp.concatenate(out_cols, axis=-1)
     proj = jnp.dot(merged.astype(jnp.bfloat16), wfc_ref[:],
                    preferred_element_type=jnp.float32)
@@ -165,7 +188,8 @@ def _cross_ffn_kernel(x_ref, ek_ref, ev_ref, mask_ref, wq_ref, wfc_ref,
     y3 = _layernorm(x2, ln3s_ref[:], ln3b_ref[:])
     h1 = jnp.dot(y3.astype(jnp.bfloat16), w1_ref[:],
                  preferred_element_type=jnp.float32) + b1_ref[:]
-    h1 = jax.nn.gelu(h1, approximate=False)
+    # exact GELU via polynomial erf
+    h1 = 0.5 * h1 * (1.0 + _erf(h1 * 0.7071067811865476))
     h2 = jnp.dot(h1.astype(jnp.bfloat16), w2_ref[:],
                  preferred_element_type=jnp.float32) + b2_ref[:]
     xo_ref[:] = (x2 + h2).astype(xo_ref.dtype)
@@ -219,6 +243,8 @@ def cross_ffn_step(x, enc_k, enc_v, src_mask, wq, wfc, ln2_s, ln2_b,
         out_specs=pl.BlockSpec((bt, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, D), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, enc_k, enc_v, src_mask.astype(f32), wq.astype(bf), wfc.astype(bf),
       ln2_s.astype(f32).reshape(1, -1), ln2_b.astype(f32).reshape(1, -1),
