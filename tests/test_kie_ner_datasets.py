@@ -1,0 +1,62 @@
+"""KIE/NER dataset tests + ic13 hmean."""
+import json
+
+import numpy as np
+
+from tps_pp_tpu.datasets import KIEDataset, NerDataset
+from tps_pp_tpu.evaluation.hmean_ic13 import eval_hmean_ic13
+
+
+def _write_kie(tmp_path):
+    lines = [{
+        'file_name': 'a.jpg', 'height': 100, 'width': 200,
+        'annotations': [
+            {'box': [10, 10, 60, 10, 60, 30, 10, 30], 'text': 'Total',
+             'label': 1},
+            {'box': [70, 10, 120, 10, 120, 30, 70, 30], 'text': '12.50',
+             'label': 2},
+        ]}]
+    f = tmp_path / 'kie.jsonl'
+    f.write_text('\n'.join(json.dumps(x) for x in lines))
+    return str(f)
+
+
+def test_kie_dataset(tmp_path):
+    ds = KIEDataset(_write_kie(tmp_path), max_nodes=8, max_chars=8)
+    item = ds[0]
+    assert item['texts'].shape == (8, 8)
+    assert item['relations'].shape == (8, 8, 5)
+    assert item['labels'][0] == 1 and item['labels'][1] == 2
+    assert item['labels'][2] == -100
+    assert item['edge_labels'][0, 1] == 0 and item['edge_labels'][0, 0] == 1
+    assert item['edge_labels'][2, 2] == -1
+    # perfect predictions -> f1 1.0
+    res = ds.evaluate([item['labels']])
+    assert res['macro_f1'] == 1.0
+
+
+def test_ner_dataset(tmp_path):
+    lines = [{'text': 'Anna went to Paris',
+              'label': {'name': {'Anna': [[0, 3]]},
+                        'address': {'Paris': [[13, 17]]}}}]
+    f = tmp_path / 'ner.jsonl'
+    f.write_text('\n'.join(json.dumps(x) for x in lines))
+    ds = NerDataset(str(f), categories=['name', 'address'], max_len=32)
+    item = ds[0]
+    assert item['labels'][0] == ds.tag2id['B-name']
+    assert item['labels'][1] == ds.tag2id['I-name']
+    assert item['labels'][13] == ds.tag2id['B-address']
+    res = ds.evaluate([item['labels']])
+    assert res['f1-score'] == 1.0
+
+
+def test_hmean_ic13():
+    gt = [np.array([10, 10, 50, 10, 50, 30, 10, 30], np.float32)]
+    good = [np.array([10, 10, 50, 10, 50, 30, 10, 30, 0.9], np.float32)]
+    res = eval_hmean_ic13([good], [gt])
+    assert res['hmean'] == 1.0
+    # one gt covered by two half-boxes -> one-to-many 0.8 credit
+    halves = [np.array([10, 10, 30, 10, 30, 30, 10, 30, 0.9], np.float32),
+              np.array([30, 10, 50, 10, 50, 30, 30, 30, 0.9], np.float32)]
+    res = eval_hmean_ic13([halves], [gt])
+    assert 0 < res['hmean'] <= 0.85

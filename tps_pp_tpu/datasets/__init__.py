@@ -5,3 +5,4 @@ from .pipelines.transforms import Compose
 __all__ = ['HardDiskLoader', 'LmdbLoader', 'LineStrParser', 'LineJsonParser',
            'OCRDataset', 'UniformConcatDataset', 'DataLoader', 'build_dataset',
            'Compose']
+from .kie_dataset import KIEDataset, NerDataset
