@@ -93,3 +93,35 @@ def test_model_inference_api():
     arr = cv2.imread(img_path, cv2.IMREAD_GRAYSCALE)[:, :, None]
     res2 = model_inference(rec, variables, [arr, arr])
     assert len(res2) == 2
+
+
+def test_nrtr_tps_toy_overfit(tmp_path):
+    """The flagship topology (tiny dims, TPS++ included) must learn on the
+    toy set through the sharded train step — validates the AR training path
+    beyond CRNN."""
+    from tps_pp_tpu.apis.flagship import nrtr_tps_pp_cfg
+    cfg = nrtr_tps_pp_cfg(tiny=True)
+    rec = build_recognizer(cfg)
+    train_ds = build_dataset(dict(
+        type='OCRDataset', img_prefix=TOY,
+        ann_file=os.path.join(TOY, 'label.txt'),
+        loader=dict(type='HardDiskLoader',
+                    parser=dict(type='LineStrParser',
+                                keys=['filename', 'text'],
+                                keys_idx=[0, 1], separator=' ')),
+        pipeline=[
+            dict(type='LoadImageFromFile'),
+            dict(type='ResizeOCR', height=32, min_width=64, max_width=64,
+                 keep_aspect_ratio=False),
+            dict(type='ToTensorOCR'),
+            dict(type='NormalizeOCR', mean=[0.485, 0.456, 0.406],
+                 std=[0.229, 0.224, 0.225]),
+            dict(type='Collect', keys=['img']),
+        ],
+        test_mode=False))
+    tcfg = dict(samples_per_gpu=8, total_epochs=12, log_interval=1,
+                input_shape=(32, 64, 3),
+                optimizer=dict(type='Adam', lr=1e-3))
+    state, history = train_recognizer(rec, train_ds, tcfg, seed=0)
+    losses = [h['loss'] for h in history if 'loss' in h]
+    assert min(losses[-3:]) < losses[0] * 0.8, losses[:3] + losses[-3:]
