@@ -60,3 +60,20 @@ def test_hmean_ic13():
               np.array([30, 10, 50, 10, 50, 30, 30, 30, 0.9], np.float32)]
     res = eval_hmean_ic13([halves], [gt])
     assert 0 < res['hmean'] <= 0.85
+
+
+def test_unet_and_common_losses():
+    import jax
+    import jax.numpy as jnp
+    from tps_pp_tpu.models.common import UNet, DiceLoss, FocalLoss
+    m = UNet(base_channels=4, num_stages=3)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (1, 32, 32, 4)
+    pred = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (2, 8, 8)))
+    tgt = (pred > 0.5).astype(jnp.float32)
+    d = DiceLoss()(pred, tgt)
+    assert 0 <= float(d) < 1
+    f = FocalLoss()(jnp.zeros((2, 8)), jnp.ones((2, 8)))
+    assert float(f) > 0
