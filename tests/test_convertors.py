@@ -89,3 +89,16 @@ def test_unknown_char_raises_without_ukn():
     c = AttnConvertor(dict_type='DICT36', with_unknown=False)
     with pytest.raises(ValueError):
         c.str2idx(['@'])
+
+
+def test_mask_convertors():
+    from tps_pp_tpu.convertors import MaskCTCConvertor, Mask_ABIConvertor
+    c = MaskCTCConvertor(dict_type='DICT36', with_unknown=True, lower=True)
+    out = c.str2tensor_mask(['abc'], [[1]])
+    assert out['masked_targets'][0][1] == c.unknown_idx
+    assert out['masked_targets'][0][0] == c.char2idx['a']
+    assert out['other_targets'][0][0] == c.unknown_idx
+    assert out['other_targets'][0][1] == c.char2idx['b']
+    m = Mask_ABIConvertor(dict_type='DICT36', with_unknown=True, lower=True)
+    out = m.str2tensor_mask(['abc'], [[0]])
+    assert out['masked_targets'][0][0] == m.unknown_idx
