@@ -30,7 +30,7 @@ def main():
     from tps_pp_tpu.apis.recognizer import build_recognizer
 
     batch = int(os.environ.get('BENCH_BATCH', '512'))
-    iters = int(os.environ.get('BENCH_ITERS', '4'))
+    iters = int(os.environ.get('BENCH_ITERS', '3'))
     warmup = int(os.environ.get('BENCH_WARMUP', '2'))
 
     rec = build_recognizer(nrtr_tps_pp_cfg(dtype='bfloat16'))
@@ -48,7 +48,7 @@ def main():
     # axon tunnel, (b) per-dispatch tunnel latency (~30ms) would otherwise
     # be billed to the chip. Each inner batch depends on the previous
     # scalar, so nothing can be elided or overlapped dishonestly.
-    inner = int(os.environ.get('BENCH_INNER', '4'))
+    inner = int(os.environ.get('BENCH_INNER', '6'))
 
     @jax.jit
     def run_many(v, i, r):
