@@ -67,3 +67,29 @@ def test_hmean_iou():
     assert res['hmean'] == 1.0
     res = eval_hmean_iou([pred_bad], [gt])
     assert res['hmean'] == 0.0
+
+
+def test_textdet_dataset(tmp_path):
+    import cv2
+    import json
+    img = np.zeros((100, 200, 3), np.uint8)
+    cv2.rectangle(img, (20, 30), (120, 60), (255, 255, 255), -1)
+    cv2.imwrite(str(tmp_path / 'a.jpg'), img)
+    ann = {'file_name': 'a.jpg', 'annotations': [
+        {'polygon': [20, 30, 120, 30, 120, 60, 20, 60]},
+        {'polygon': [0, 0, 5, 0, 5, 5, 0, 5], 'ignore': True},
+    ]}
+    f = tmp_path / 'det.jsonl'
+    f.write_text(json.dumps(ann))
+    from tps_pp_tpu.datasets import TextDetDataset
+    ds = TextDetDataset(str(f), img_prefix=str(tmp_path),
+                        img_size=(64, 128))
+    item = ds[0]
+    assert item['img'].shape == (64, 128, 3)
+    assert len(item['gt_polygons']) == 1  # ignored one dropped
+    assert item['gt_shrink'].shape == (64, 128)
+    assert item['gt_shrink'].sum() > 0
+    # perfect predictions -> hmean 1
+    pred = [np.concatenate([item['gt_polygons'][0].reshape(-1), [0.9]])]
+    res = ds.evaluate([pred])
+    assert res['hmean'] == 1.0

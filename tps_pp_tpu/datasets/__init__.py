@@ -6,3 +6,4 @@ __all__ = ['HardDiskLoader', 'LmdbLoader', 'LineStrParser', 'LineJsonParser',
            'OCRDataset', 'UniformConcatDataset', 'DataLoader', 'build_dataset',
            'Compose']
 from .kie_dataset import KIEDataset, NerDataset
+from .textdet_dataset import TextDetDataset
