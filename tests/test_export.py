@@ -1,5 +1,8 @@
 """Deployment path: AOT compile + serialized export round-trip
 (reference analog: tools/deployment pytorch2onnx -> deploy_test)."""
+import pytest
+
+pytestmark = pytest.mark.heavy
 import jax
 import jax.numpy as jnp
 import numpy as np

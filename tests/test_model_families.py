@@ -1,6 +1,9 @@
 """Config-smoke tests for the SAR / SATRN / RobustScanner / ABINet families
 and the RARE TPS-STN preprocessor (reference analog:
 tests/test_models/test_recog_config.py parametrized over real configs)."""
+import pytest
+
+pytestmark = pytest.mark.heavy
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,6 +9,8 @@ import tps_pp_tpu.models  # noqa: F401  (registers modules)
 import tps_pp_tpu.losses  # noqa: F401
 from tps_pp_tpu.apis.recognizer import build_recognizer
 
+pytestmark = pytest.mark.heavy
+
 
 def tiny_nrtr_cfg(with_tps=False):
     cfg = dict(

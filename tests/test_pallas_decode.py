@@ -1,5 +1,8 @@
 """Fused decode-step kernels vs the unfused XLA path (interpret mode on
 CPU; compiled on TPU via bench.py / the flagship config)."""
+import pytest
+
+pytestmark = pytest.mark.heavy
 import functools
 
 import jax

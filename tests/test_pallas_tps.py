@@ -1,5 +1,8 @@
 """Fused Pallas TPS++ kernel vs the XLA reference path (interpret mode on
 CPU; the same kernel compiles on TPU — exercised by bench.py)."""
+import pytest
+
+pytestmark = pytest.mark.heavy
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -12,6 +12,8 @@ from tps_pp_tpu.parallel import (TrainState, build_optimizer, create_mesh,
                                  make_lr_schedule, make_train_step,
                                  param_sharding, shard_state)
 
+pytestmark = pytest.mark.heavy
+
 
 def _tiny_cfg():
     return dict(

@@ -1,4 +1,7 @@
 """DBNet detection subsystem: shapes, loss, targets, postprocess, hmean."""
+import pytest
+
+pytestmark = pytest.mark.heavy
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -93,3 +96,148 @@ def test_textdet_dataset(tmp_path):
     pred = [np.concatenate([item['gt_polygons'][0].reshape(-1), [0.9]])]
     res = ds.evaluate([pred])
     assert res['hmean'] == 1.0
+
+
+# ------------------------------------------------------- PANet / PSENet --
+
+def test_panet_forward_and_loss():
+    from tps_pp_tpu.models.textdet import (FPEM_FFM, PANHead, PANLoss,
+                                           PANetModule, PANetTargets)
+    model = PANetModule(
+        backbone=ResNetDet(stage_blocks=(1, 1, 1, 1), base_channels=8),
+        neck=FPEM_FFM(in_channels=(8, 16, 32, 64), conv_out=16),
+        head=PANHead(out_channels=6))
+    img = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), img)
+    out = model.apply(v, img)
+    assert out.shape == (2, 16, 16, 6)  # 1/4 resolution, 6 channels
+
+    tg = PANetTargets()
+    poly1 = np.array([[2, 2], [7, 2], [7, 6], [2, 6]], np.float32)
+    poly2 = np.array([[9, 9], [14, 9], [14, 14], [9, 14]], np.float32)
+    kernels, gt_mask = tg.generate([poly1, poly2], [], 16, 16)
+    targets = {
+        'gt_texts': jnp.asarray(np.stack([kernels[0]] * 2)),
+        'gt_kernels': jnp.asarray(np.stack([kernels[1]] * 2)),
+        'gt_mask': jnp.asarray(np.stack([gt_mask] * 2)),
+    }
+    losses = PANLoss()(out, targets)
+    assert set(losses) == {'loss_text', 'loss_kernel', 'loss_aggregation',
+                           'loss_discrimination'}
+    assert all(np.isfinite(float(x)) for x in losses.values())
+    # losses must be differentiable end-to-end
+    def f(v):
+        o = model.apply(v, img)
+        return sum(jnp.sum(x) for x in PANLoss()(o, targets).values())
+    g = jax.grad(lambda p: f({'params': p, **{k: v[k] for k in v
+                                              if k != 'params'}}))(v['params'])
+    gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_psenet_forward_and_loss():
+    from tps_pp_tpu.models.textdet import (FPNF, PANHead, PSELoss,
+                                           PANetModule, PSENetTargets,
+                                           ResNetDet50)
+    model = PANetModule(
+        backbone=ResNetDet50(stage_blocks=(1, 1, 1, 1), base_channels=4),
+        neck=FPNF(in_channels=(16, 32, 64, 128), out_channels=16),
+        head=PANHead(out_channels=7))
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), img)
+    out = model.apply(v, img)
+    assert out.shape == (1, 16, 16, 7)
+
+    tg = PSENetTargets()
+    poly = np.array([[2, 2], [13, 2], [13, 13], [2, 13]], np.float32)
+    res = tg({'img': np.zeros((16, 16, 3), np.uint8), 'gt_polygons': [poly]})
+    assert res['gt_kernels'].shape == (7, 16, 16)
+    # kernels shrink monotonically
+    sums = res['gt_kernels'].sum(axis=(1, 2))
+    assert (np.diff(sums) <= 0).all() and sums[0] > 0
+    targets = {
+        'gt_kernels': jnp.asarray(res['gt_kernels'])[None],
+        'gt_mask': jnp.asarray(res['gt_mask'])[None],
+    }
+    losses = PSELoss()(out, targets)
+    assert set(losses) == {'loss_text', 'loss_kernel'}
+    assert all(np.isfinite(float(x)) for x in losses.values())
+
+
+def test_pse_postprocess_recovers_two_boxes():
+    from tps_pp_tpu.models.textdet import PSEPostprocessor
+    H = W = 64
+    logits = np.full((H, W, 3), -10.0, np.float32)  # text + 2 kernels
+    for (y0, y1, x0, x1) in [(10, 25, 5, 30), (35, 55, 20, 60)]:
+        logits[y0:y1, x0:x1, 0] = 10.0
+        logits[y0 + 3:y1 - 3, x0 + 3:x1 - 3, 1] = 10.0
+        logits[y0 + 4:y1 - 4, x0 + 4:x1 - 4, 2] = 10.0
+    post = PSEPostprocessor(text_repr_type='quad')
+    boundaries = post(logits)
+    assert len(boundaries) == 2
+    for b in boundaries:
+        assert b[-1] > 0.9  # score
+        pts = b[:-1].reshape(-1, 2)
+        assert pts.shape[0] >= 4
+
+
+def test_pan_postprocess_separates_instances_by_embedding():
+    from tps_pp_tpu.models.textdet import PANPostprocessor
+    H = W = 64
+    logits = np.full((H, W, 6), -10.0, np.float32)
+    # one connected text blob, two kernels with distinct embeddings
+    logits[20:44, 4:60, 0] = 10.0
+    logits[24:40, 8:28, 1] = 10.0
+    logits[24:40, 36:56, 1] = 10.0
+    logits[:, :32, 2] = 4.0    # embedding dims split left/right
+    logits[:, 32:, 3] = 4.0
+    post = PANPostprocessor(text_repr_type='quad')
+    boundaries = post(logits)
+    assert len(boundaries) == 2
+    xs = sorted(float(b[:-1].reshape(-1, 2)[:, 0].mean()) for b in boundaries)
+    assert xs[0] < 32 < xs[1]
+
+
+def test_panet_toy_overfit_step():
+    """A few SGD steps reduce the PAN loss on a fixed toy batch."""
+    import optax
+    from tps_pp_tpu.models.textdet import (FPEM_FFM, PANHead, PANLoss,
+                                           PANetModule, PANetTargets)
+    model = PANetModule(
+        backbone=ResNetDet(stage_blocks=(1, 1, 1, 1), base_channels=8),
+        neck=FPEM_FFM(in_channels=(8, 16, 32, 64), conv_out=16),
+        head=PANHead(out_channels=6))
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), img)
+    tg = PANetTargets()
+    poly = np.array([[2, 2], [12, 2], [12, 8], [2, 8]], np.float32)
+    kernels, gt_mask = tg.generate([poly], [], 16, 16)
+    targets = {
+        'gt_texts': jnp.asarray(kernels[0])[None],
+        'gt_kernels': jnp.asarray(kernels[1])[None],
+        'gt_mask': jnp.asarray(gt_mask)[None],
+    }
+    loss_fn = PANLoss()
+
+    @jax.jit
+    def step(params, state, opt_state):
+        def f(p):
+            out, new_state = model.apply(
+                {'params': p, **state}, img, train=True,
+                mutable=['batch_stats'])
+            return sum(loss_fn(out, targets).values()), new_state
+        (loss, new_state), grads = jax.value_and_grad(f, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_state, opt_state, loss
+
+    tx = optax.adam(1e-3)
+    params = v['params']
+    state = {k: v[k] for k in v if k != 'params'}
+    opt_state = tx.init(params)
+    first = None
+    for i in range(8):
+        params, state, opt_state, loss = step(params, state, opt_state)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first

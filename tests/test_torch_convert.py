@@ -4,6 +4,7 @@ BN stats, torch LSTM gate order)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from tps_pp_tpu.models.layers import BidirectionalLSTM, ConvModule
@@ -92,6 +93,7 @@ def test_bn_stats_convert():
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_flagship_rule_table_structurally_complete():
     """Every rule in the NRTR+TPS++ name map must land on an existing flax
     param with the right shape (mitigation for SURVEY §7.3 hard-part #1;

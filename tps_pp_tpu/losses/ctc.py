@@ -30,7 +30,11 @@ class CTCLoss:
         (N, L) and 'target_lengths' (N,)."""
         N, T, _ = outputs.shape
         labels = targets_dict['padded_targets']
-        lengths = jnp.clip(targets_dict['target_lengths'], 1, labels.shape[1])
+        # keep zero-length targets: a fully label-padded row makes optax
+        # score the all-blank alignment, matching torch nn.CTCLoss's
+        # empty-transcript semantics (clipping to 1 would instead feed
+        # blank as a real label — a different, degenerate loss)
+        lengths = jnp.clip(targets_dict['target_lengths'], 0, labels.shape[1])
         logit_pad = jnp.zeros((N, T), dtype=jnp.float32)
         label_pad = (jnp.arange(labels.shape[1])[None, :] >=
                      lengths[:, None]).astype(jnp.float32)
@@ -39,9 +43,10 @@ class CTCLoss:
         if self.zero_infinity:
             per_seq = jnp.where(jnp.isfinite(per_seq), per_seq, 0.0)
         if self.reduction == 'mean':
-            # torch 'mean' divides each sequence loss by its target length,
-            # then averages over the batch
-            loss = jnp.mean(per_seq / lengths.astype(jnp.float32))
+            # torch 'mean' divides each sequence loss by its target length
+            # (clamped to 1 for empty transcripts), then batch-averages
+            loss = jnp.mean(per_seq /
+                            jnp.maximum(lengths, 1).astype(jnp.float32))
         elif self.reduction == 'sum':
             loss = jnp.sum(per_seq)
         else:

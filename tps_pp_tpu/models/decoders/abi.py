@@ -139,7 +139,7 @@ class ABILanguageDecoder(nn.Module):
                                       dtype=self.dtype, name=f'cross{i}')
             x = x + attn(x, embed, embed, mask=mask,
                          deterministic=not train)
-            x = nn.LayerNorm(dtype=self.dtype, name=f'norm{i}_1')(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f'norm{i}_1')(x)
             y = nn.Dense(self.d_inner, dtype=self.dtype,
                          name=f'ffn{i}_fc1')(x)
             y = nn.relu(y)
@@ -147,7 +147,7 @@ class ABILanguageDecoder(nn.Module):
             y = nn.Dense(self.d_model, dtype=self.dtype,
                          name=f'ffn{i}_fc2')(y)
             y = nn.Dropout(self.dropout)(y, deterministic=not train)
-            x = nn.LayerNorm(dtype=self.dtype, name=f'norm{i}_2')(x + y)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f'norm{i}_2')(x + y)
 
         out_logits = nn.Dense(self.num_chars, dtype=self.dtype,
                               name='cls')(x)

@@ -35,14 +35,14 @@ class PostNormTransformerLayer(nn.Module):
                                   self.dropout, qkv_bias=True,
                                   dtype=self.dtype, name='attn')
         x = x + attn(x, x, x, mask=mask, deterministic=not train)
-        x = nn.LayerNorm(dtype=self.dtype, name='norm1')(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm1')(x)
         y = nn.Dense(self.d_inner, dtype=self.dtype, name='ffn_fc1')(x)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout)(y, deterministic=not train)
         y = nn.Dense(self.d_model, dtype=self.dtype, name='ffn_fc2')(y)
         y = nn.Dropout(self.dropout)(y, deterministic=not train)
         x = x + y
-        return nn.LayerNorm(dtype=self.dtype, name='norm2')(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm2')(x)
 
 
 @ENCODERS.register_module()

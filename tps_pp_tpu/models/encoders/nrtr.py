@@ -51,4 +51,4 @@ class NRTREncoder(nn.Module):
                                self.d_k, self.d_v, self.dropout,
                                dtype=self.dtype, name=f'layer{i}')(
                 x, mask=mask, deterministic=not train)
-        return nn.LayerNorm(dtype=self.dtype, name='layer_norm')(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='layer_norm')(x)

@@ -84,13 +84,13 @@ class SatrnEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, h: int, w: int, mask=None, train: bool = False):
         n, hw, c = x.shape
-        y = nn.LayerNorm(dtype=self.dtype, name='norm1')(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm1')(x)
         x = x + MultiHeadAttention(self.n_head, self.d_model, self.d_k,
                                    self.d_v, self.dropout, dtype=self.dtype,
                                    name='attn')(y, y, y, mask=mask,
                                                 deterministic=not train)
         residual = x
-        y = nn.LayerNorm(dtype=self.dtype, name='norm2')(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm2')(x)
         y = y.reshape(n, h, w, c)
         y = LocalityAwareFeedforward(self.d_model, self.d_inner,
                                      dtype=self.dtype,
@@ -131,7 +131,7 @@ class SatrnEncoder(nn.Module):
                                   self.d_k, self.d_v, self.dropout,
                                   dtype=self.dtype, name=f'layer{i}')(
                 x, h, w, mask=mask, train=train)
-        return nn.LayerNorm(dtype=self.dtype, name='layer_norm')(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='layer_norm')(x)
 
 
 @ENCODERS.register_module()

@@ -135,14 +135,17 @@ class TorchLSTMCellScan(nn.Module):
     def __call__(self, x):
         N, T, In = x.shape
         H = self.hidden_size
-        w_ih = self.param('weight_ih', nn.initializers.uniform(scale=1.0 / H ** 0.5),
-                          (4 * H, In), self.dtype)
-        w_hh = self.param('weight_hh', nn.initializers.uniform(scale=1.0 / H ** 0.5),
-                          (4 * H, H), self.dtype)
-        b_ih = self.param('bias_ih', nn.initializers.uniform(scale=1.0 / H ** 0.5),
-                          (4 * H,), self.dtype)
-        b_hh = self.param('bias_hh', nn.initializers.uniform(scale=1.0 / H ** 0.5),
-                          (4 * H,), self.dtype)
+        # torch nn.LSTM init: symmetric U(-1/sqrt(H), 1/sqrt(H)) — flax's
+        # uniform() samples [0, scale) only, which would start from-scratch
+        # training at an atypical all-nonnegative parameterization
+        def torch_uniform(key, shape, dtype=self.dtype):
+            bound = 1.0 / H ** 0.5
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        w_ih = self.param('weight_ih', torch_uniform, (4 * H, In))
+        w_hh = self.param('weight_hh', torch_uniform, (4 * H, H))
+        b_ih = self.param('bias_ih', torch_uniform, (4 * H,))
+        b_hh = self.param('bias_hh', torch_uniform, (4 * H,))
 
         # hoist the input projection out of the scan: one big MXU matmul
         xw = jnp.einsum('nti,gi->ntg', x, w_ih,

@@ -1,6 +1,15 @@
 from .dbnet import ResNetDet, FPNC, DBHead, DBLoss, DBNetModule
-from .targets import DBNetTargets
-from .postprocess import DBPostprocessor, eval_hmean_iou
+from .pan import (Bottleneck, FPEM_FFM, FPNF, PANHead, PANLoss, PANetModule,
+                  PSELoss, ResNetDet50)
+from .targets import DBNetTargets, PANetTargets, PSENetTargets
+from .postprocess import (DBPostprocessor, PANPostprocessor,
+                          PSEPostprocessor, eval_hmean_iou, points2boundary)
 
-__all__ = ['ResNetDet', 'FPNC', 'DBHead', 'DBLoss', 'DBNetModule',
-           'DBNetTargets', 'DBPostprocessor', 'eval_hmean_iou']
+__all__ = [
+    'ResNetDet', 'FPNC', 'DBHead', 'DBLoss', 'DBNetModule',
+    'Bottleneck', 'FPEM_FFM', 'FPNF', 'PANHead', 'PANLoss', 'PANetModule',
+    'PSELoss', 'ResNetDet50',
+    'DBNetTargets', 'PANetTargets', 'PSENetTargets',
+    'DBPostprocessor', 'PANPostprocessor', 'PSEPostprocessor',
+    'eval_hmean_iou', 'points2boundary',
+]

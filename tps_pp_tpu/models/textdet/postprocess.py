@@ -121,3 +121,117 @@ def eval_hmean_iou(pred_boundaries: Sequence[Sequence[np.ndarray]],
     hmean = 2 * precision * recall / (precision + recall + eps)
     return {'precision': round(precision, 4), 'recall': round(recall, 4),
             'hmean': round(hmean, 4)}
+
+
+def points2boundary(points: np.ndarray, text_repr_type: str,
+                    score: float, min_width: int = -1):
+    """Point set -> boundary polygon [+score] (reference core/mask.py:8-52)."""
+    points = np.asarray(points)
+    if text_repr_type == 'quad':
+        rect = cv2.minAreaRect(points.astype(np.int32))
+        if min(rect[1]) <= min_width:
+            return None
+        boundary = cv2.boxPoints(rect).flatten().tolist()
+    else:  # poly
+        height = int(points[:, 1].max()) + 10
+        width = int(points[:, 0].max()) + 10
+        mask = np.zeros((height, width), np.uint8)
+        mask[points[:, 1].astype(int), points[:, 0].astype(int)] = 255
+        contours, _ = cv2.findContours(mask, cv2.RETR_EXTERNAL,
+                                       cv2.CHAIN_APPROX_SIMPLE)
+        if not contours:
+            return None
+        boundary = contours[0].flatten().tolist()
+    boundary = boundary + [score]
+    if len(boundary) < 8 + 1:
+        return None
+    return np.asarray(boundary, np.float32)
+
+
+class PSEPostprocessor:
+    """Progressive scale expansion decode (reference
+    textdet/postprocess/pse_postprocessor.py:13-91) over the first-party
+    contour_expand native op."""
+
+    def __init__(self, text_repr_type='poly', min_kernel_confidence=0.5,
+                 min_text_avg_confidence=0.85, min_kernel_area=0,
+                 min_text_area=16, **kwargs):
+        self.text_repr_type = text_repr_type
+        self.min_kernel_confidence = min_kernel_confidence
+        self.min_text_avg_confidence = min_text_avg_confidence
+        self.min_kernel_area = min_kernel_area
+        self.min_text_area = min_text_area
+
+    def __call__(self, preds: np.ndarray) -> List[np.ndarray]:
+        """preds: (H, W, K+1) raw logits [text, kernels large->small]."""
+        from ...native import contour_expand
+
+        preds = 1.0 / (1.0 + np.exp(-np.asarray(preds, np.float32)))
+        score = preds[..., 0]
+        masks = (preds > self.min_kernel_confidence)
+        text_mask = masks[..., 0]
+        kernel_masks = (masks * text_mask[..., None]).astype(
+            np.uint8).transpose(2, 0, 1)   # (K+1, H, W)
+        region_num, labels = cv2.connectedComponents(
+            kernel_masks[-1], connectivity=4)
+        labels = contour_expand(kernel_masks, labels, self.min_kernel_area,
+                                region_num - 1)
+        boundaries = []
+        for i in range(1, labels.max() + 1):
+            points = np.array(np.where(labels == i)).T[:, ::-1]
+            area = points.shape[0]
+            score_i = float(score[labels == i].mean()) if area else 0.0
+            if area < self.min_text_area or \
+                    score_i < self.min_text_avg_confidence:
+                continue
+            vb = points2boundary(points, self.text_repr_type, score_i)
+            if vb is not None:
+                boundaries.append(vb)
+        return boundaries
+
+
+class PANPostprocessor:
+    """Pixel aggregation decode (reference
+    textdet/postprocess/pan_postprocessor.py:13-89) over the first-party
+    pixel_group native op."""
+
+    def __init__(self, text_repr_type='poly', min_text_confidence=0.5,
+                 min_kernel_confidence=0.5, min_text_avg_confidence=0.85,
+                 min_text_area=16, **kwargs):
+        self.text_repr_type = text_repr_type
+        self.min_text_confidence = min_text_confidence
+        self.min_kernel_confidence = min_kernel_confidence
+        self.min_text_avg_confidence = min_text_avg_confidence
+        self.min_text_area = min_text_area
+
+    def __call__(self, preds: np.ndarray) -> List[np.ndarray]:
+        """preds: (H, W, 6) raw logits [text, kernel, 4-d embedding]."""
+        from ...native import pixel_group
+
+        preds = np.asarray(preds, np.float32)
+        text_score = 1.0 / (1.0 + np.exp(-preds[..., 0]))
+        kernel_score = 1.0 / (1.0 + np.exp(-preds[..., 1]))
+        text = text_score > self.min_text_confidence
+        kernel = (kernel_score > self.min_kernel_confidence) & text
+        embeddings = preds[..., 2:]
+
+        region_num, labels = cv2.connectedComponents(
+            kernel.astype(np.uint8), connectivity=4)
+        contours, _ = cv2.findContours((kernel * 255).astype(np.uint8),
+                                       cv2.RETR_LIST, cv2.CHAIN_APPROX_NONE)
+        kernel_contours = np.zeros(text.shape, dtype=np.uint8)
+        cv2.drawContours(kernel_contours, contours, -1, 255)
+        text_points = pixel_group(text_score, text, embeddings, labels,
+                                  kernel_contours, region_num - 1,
+                                  self.min_text_avg_confidence)
+        boundaries = []
+        for tp in text_points:
+            score_i, count = tp[0], tp[1]
+            if count < self.min_text_area or \
+                    score_i < self.min_text_avg_confidence:
+                continue
+            points = np.asarray(tp[2:], dtype=int).reshape(-1, 2)
+            vb = points2boundary(points, self.text_repr_type, float(score_i))
+            if vb is not None:
+                boundaries.append(vb)
+        return boundaries

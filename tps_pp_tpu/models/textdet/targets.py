@@ -81,3 +81,88 @@ class DBNetTargets:
         polygons = results.get('gt_polygons', [])
         results.update(self.generate(polygons, h, w))
         return results
+
+
+def _shrink_distance(poly: np.ndarray, ratio: float, max_shrink: int) -> int:
+    """d = area*(1-r^2)/(peri+1e-3), capped (reference
+    base_textdet_targets.py:105-118)."""
+    p = poly.astype(np.float32).reshape(-1, 2)
+    area = cv2.contourArea(p)
+    peri = cv2.arcLength(p, True)
+    return min(int(area * (1 - ratio * ratio) / (peri + 0.001) + 0.5),
+               max_shrink)
+
+
+def _shrunk_instance_map(polygons, h, w, ratio, max_shrink):
+    """Instance-labeled kernel map for one shrink ratio: each polygon eroded
+    by its offset distance and filled with (index+1) — the pyclipper-free
+    counterpart of reference generate_kernels (base_textdet_targets.py:89-137)
+    built from distance transforms."""
+    kernel = np.zeros((h, w), np.float32)
+    for ind, poly in enumerate(polygons):
+        poly = np.asarray(poly, np.float32).reshape(-1, 2)
+        d = _shrink_distance(poly, ratio, max_shrink)
+        mask = _poly_mask(poly, h, w)
+        if d <= 0:
+            kernel[mask > 0] = ind + 1
+            continue
+        inside = cv2.distanceTransform(mask, cv2.DIST_L2, 3)
+        shrunk = inside >= d
+        if not shrunk.any():
+            continue  # over-shrunk instance is skipped like the reference
+        kernel[shrunk] = ind + 1
+    return kernel
+
+
+@PIPELINES.register_module()
+class PANetTargets:
+    """PANet gt generation (reference textdet_targets/panet_targets.py):
+    instance-labeled kernels at shrink ratios (1.0, 0.5) + effective mask."""
+
+    def __init__(self, shrink_ratio=(1.0, 0.5), max_shrink=20):
+        self.shrink_ratio = shrink_ratio
+        self.max_shrink = max_shrink
+
+    def generate(self, polygons, polygons_ignore, h, w):
+        gt_kernels = [
+            _shrunk_instance_map(polygons, h, w, r, self.max_shrink)
+            for r in self.shrink_ratio
+        ]
+        gt_mask = np.ones((h, w), np.float32)
+        for poly in polygons_ignore:
+            cv2.fillPoly(gt_mask,
+                         [np.asarray(poly, np.float32).astype(
+                             np.int32).reshape(-1, 2)], 0)
+        return gt_kernels, gt_mask
+
+    def __call__(self, results: Dict) -> Dict:
+        h, w = results['img'].shape[:2]
+        kernels, gt_mask = self.generate(
+            results.get('gt_polygons', []),
+            results.get('gt_polygons_ignore', []), h, w)
+        results['gt_texts'] = kernels[0]
+        results['gt_kernels'] = kernels[1]
+        results['gt_mask'] = gt_mask
+        return results
+
+
+@PIPELINES.register_module()
+class PSENetTargets(PANetTargets):
+    """PSENet gt generation (reference textdet_targets/psenet_targets.py):
+    7 binary kernels at ratios 1.0..0.4 + effective mask. Emits
+    'gt_kernels' stacked (K, H, W) binary (the PSELoss layout)."""
+
+    def __init__(self,
+                 shrink_ratio=(1.0, 0.9, 0.8, 0.7, 0.6, 0.5, 0.4),
+                 max_shrink=20):
+        super().__init__(shrink_ratio=shrink_ratio, max_shrink=max_shrink)
+
+    def __call__(self, results: Dict) -> Dict:
+        h, w = results['img'].shape[:2]
+        kernels, gt_mask = self.generate(
+            results.get('gt_polygons', []),
+            results.get('gt_polygons_ignore', []), h, w)
+        results['gt_kernels'] = np.stack(
+            [(k > 0).astype(np.float32) for k in kernels])
+        results['gt_mask'] = gt_mask
+        return results

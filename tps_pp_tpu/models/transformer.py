@@ -205,8 +205,8 @@ class TFEncoderLayer(nn.Module):
         mlp = PositionwiseFeedForward(self.d_model, self.d_inner,
                                       self.dropout, self.act, self.dtype,
                                       name='mlp')
-        norm1 = nn.LayerNorm(dtype=self.dtype, name='norm1')
-        norm2 = nn.LayerNorm(dtype=self.dtype, name='norm2')
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm1')
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm2')
         if self.prenorm:
             x = x + attn(*(norm1(x),) * 3, mask=mask,
                          deterministic=deterministic)
@@ -233,9 +233,9 @@ class TFDecoderLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.norm1 = nn.LayerNorm(dtype=self.dtype)
-        self.norm2 = nn.LayerNorm(dtype=self.dtype)
-        self.norm3 = nn.LayerNorm(dtype=self.dtype)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.self_attn = MultiHeadAttention(self.n_head, self.d_model,
                                             self.d_k, self.d_v, self.dropout,
                                             self.qkv_bias, self.dtype)

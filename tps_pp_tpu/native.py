@@ -60,6 +60,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.ctc_collapse.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32)]
+        lib.contour_expand.restype = None
+        lib.contour_expand.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.pixel_group.restype = None
+        lib.pixel_group.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_float, ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
     except OSError:
         _load_failed = True
@@ -176,3 +187,113 @@ def ctc_collapse(pred, blank: int = 0) -> List[int]:
         pred.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(pred),
         blank, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return buf[:n].tolist()
+
+
+def contour_expand(kernel_masks, labels, min_kernel_area: int,
+                   region_num: int):
+    """PSENet progressive scale expansion (first-party equivalent of
+    mmcv.ops.contour_expand, reference pse_postprocessor.py:6,69).
+
+    Args:
+      kernel_masks: (K, H, W) uint8, index 0 = largest kernel (text mask),
+        K-1 = smallest.
+      labels: (H, W) int32, connected components of the smallest kernel.
+    Returns the expanded (H, W) int32 label map.
+    """
+    import numpy as np
+    kernel_masks = np.ascontiguousarray(kernel_masks, np.uint8)
+    out = np.ascontiguousarray(labels, np.int32).copy()
+    k, h, w = kernel_masks.shape
+    lib = get_lib()
+    if lib is not None:
+        lib.contour_expand(
+            kernel_masks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            k, h, w, int(min_kernel_area), int(region_num),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
+    # numpy fallback: per-level label propagation until fixpoint
+    if min_kernel_area > 0:
+        areas = np.bincount(out.reshape(-1), minlength=region_num + 1)
+        small = np.isin(out, np.nonzero(areas < min_kernel_area)[0]) & (out > 0)
+        out[small] = 0
+    for lvl in range(k - 2, -1, -1):
+        m = kernel_masks[lvl] > 0
+        while True:
+            grow = np.zeros_like(out)
+            for shift, axis in (((1,), 0), ((-1,), 0), ((1,), 1), ((-1,), 1)):
+                rolled = np.roll(out, shift, axis=axis)
+                if axis == 0:
+                    rolled[0 if shift[0] == 1 else -1, :] = 0
+                else:
+                    rolled[:, 0 if shift[0] == 1 else -1] = 0
+                grow = np.where((grow == 0) & (out == 0) & m & (rolled > 0),
+                                rolled, grow)
+            if not grow.any():
+                break
+            out = np.where(grow > 0, grow, out)
+    return out
+
+
+def pixel_group(score, mask, embedding, kernel_label, kernel_contour,
+                kernel_region_num: int, distance_threshold: float):
+    """PANet pixel aggregation (first-party equivalent of
+    mmcv.ops.pixel_group, reference pan_postprocessor.py:5,63).
+
+    Returns a list (indexed 1..region_num) of
+    ``[avg_score, point_count, x0, y0, x1, y1, ...]`` per text instance —
+    the mmcv return layout consumed by the postprocessor.
+    """
+    import numpy as np
+    score = np.ascontiguousarray(score, np.float32)
+    mask = np.ascontiguousarray(mask, np.uint8)
+    embedding = np.ascontiguousarray(embedding, np.float32)
+    labels = np.ascontiguousarray(kernel_label, np.int32).copy()
+    contour = np.ascontiguousarray(kernel_contour, np.uint8)
+    h, w = score.shape
+    emb_dim = embedding.shape[-1]
+    lib = get_lib()
+    if lib is not None:
+        lib.pixel_group(
+            score.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            embedding.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            emb_dim, contour.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            h, w, int(kernel_region_num), float(distance_threshold),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    else:
+        # numpy fallback: one-step-at-a-time BFS via label propagation with
+        # the embedding-distance gate
+        means = np.zeros((kernel_region_num + 1, emb_dim), np.float64)
+        for r in range(1, kernel_region_num + 1):
+            sel = labels == r
+            if sel.any():
+                means[r] = embedding[sel].mean(axis=0)
+        thr2 = distance_threshold ** 2
+        while True:
+            changed = False
+            for shift, axis in (((1,), 0), ((-1,), 0), ((1,), 1), ((-1,), 1)):
+                rolled = np.roll(labels, shift, axis=axis)
+                if axis == 0:
+                    rolled[0 if shift[0] == 1 else -1, :] = 0
+                else:
+                    rolled[:, 0 if shift[0] == 1 else -1] = 0
+                cand = (labels == 0) & (mask > 0) & (rolled > 0)
+                if not cand.any():
+                    continue
+                d2 = ((embedding - means[rolled]) ** 2).sum(-1)
+                take = cand & (d2 <= thr2)
+                if take.any():
+                    labels[take] = rolled[take]
+                    changed = True
+            if not changed:
+                break
+    out = []
+    for r in range(1, kernel_region_num + 1):
+        ys, xs = np.nonzero(labels == r)
+        if len(ys) == 0:
+            out.append([0.0, 0.0])
+            continue
+        avg = float(score[ys, xs].mean())
+        pts = np.stack([xs, ys], axis=1).reshape(-1).astype(np.float32)
+        out.append([avg, float(len(ys))] + pts.tolist())
+    return out

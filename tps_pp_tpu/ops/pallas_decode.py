@@ -50,7 +50,10 @@ def _erf(x):
     return jnp.sign(x) * y
 
 
-def _layernorm(x, scale, bias, eps=1e-6):  # flax LN default
+def _layernorm(x, scale, bias, eps=1e-5):
+    # torch nn.LayerNorm default — the reference's per-layer norms
+    # (transformer_layers.py:43-46,110-112) never override eps; mirrors the
+    # flax modules in models/transformer.py (epsilon=1e-5)
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)

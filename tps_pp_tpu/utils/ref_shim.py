@@ -1,0 +1,330 @@
+"""Import the *reference* PyTorch modules (/root/reference) for numeric
+parity testing, shimming their missing deps (mmcv, timm, broken fork
+imports).
+
+The reference is an MMOCR-0.4 fork whose heavy deps (mmcv, mmdet, timm) are
+not installed here, and whose ``__init__`` files import deleted modules
+(SURVEY §2.11). This module installs minimal, behavior-faithful stand-ins in
+``sys.modules`` and then loads the individual reference source files under
+their real dotted names — WITHOUT executing any reference ``__init__``.
+
+Shimmed surface (only what the loaded files touch):
+  * ``mmcv.cnn.ConvModule``      — conv + optional norm + ReLU (mmcv default
+    order conv/norm/act, bias='auto')
+  * ``mmcv.cnn.resnet.BasicBlock``/``conv3x3`` — the mmcv-1.x resnet block
+    used by mmocr's BasicBlock subclass (conv_layer.py:3-33)
+  * ``mmcv.runner.BaseModule/ModuleList/Sequential``
+  * ``timm.models.layers.DropPath`` — identity at eval time
+  * ``mmocr.models.builder`` registries — no-op ``register_module``
+  * ``mmocr.utils.is_type_list``
+  * dead fork imports (``backbones.tps``, ``decoders.Trans``,
+    ``tools.data.textrecog.visual_feat``) — inert placeholders
+
+Loaded reference files (call :func:`load_reference`):
+  * common/modules/transformer_module.py   (MHA, FFN, PositionalEncoding)
+  * common/layers/transformer_layers.py    (TFEncoderLayer, TFDecoderLayer)
+  * textrecog/layers/{conv_layer,lstm_layer}.py
+  * textrecog/backbones/tps_pp/{DGAB,tps_pp}.py  (the paper's TPS++)
+  * textrecog/backbones/{resnet_v2_large,very_deep_vgg}.py
+  * textrecog/{encoders/nrtr_encoder,decoders/nrtr_decoder}.py
+  * textrecog/decoders/crnn_decoder.py
+
+Everything runs on CPU at fp32 with random-init weights; the parity tests
+convert those weights into our flax models via utils.torch_convert and
+assert activation-level agreement.
+"""
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+
+REFERENCE_ROOT = '/root/reference'
+
+
+def _module(name: str) -> types.ModuleType:
+    """Get-or-create a bare module object registered in sys.modules."""
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        mod.__path__ = []  # mark as package so submodule imports resolve
+        sys.modules[name] = mod
+        parent, _, child = name.rpartition('.')
+        if parent:
+            setattr(_module(parent), child, mod)
+    return mod
+
+
+def _install_mmcv_shim():
+    import torch
+    import torch.nn as nn
+
+    if 'mmcv' in sys.modules and getattr(sys.modules['mmcv'], '__shim__',
+                                         False) is False:
+        return  # a real mmcv exists (not the case in this image)
+
+    def build_activation_layer(cfg):
+        t = (cfg or {'type': 'ReLU'}).get('type', 'ReLU')
+        if 'GELU' in t:
+            return nn.GELU()
+        if t.lower() in ('relu', 'mmcv.relu'):
+            return nn.ReLU(inplace=True)
+        raise ValueError(f'shim: unsupported activation {t}')
+
+    class ConvModule(nn.Module):
+        """mmcv.cnn.ConvModule subset: Conv2d + optional BN + ReLU.
+
+        Matches mmcv defaults used by the reference (tps_pp.py:126-131,
+        538-552): conv_cfg=None, norm_cfg=None, act_cfg=ReLU,
+        bias='auto' (True when no norm), order ('conv','norm','act').
+        """
+
+        def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                     padding=0, dilation=1, groups=1, bias='auto',
+                     conv_cfg=None, norm_cfg=None,
+                     act_cfg=dict(type='ReLU'), inplace=True,
+                     order=('conv', 'norm', 'act'), **kwargs):
+            super().__init__()
+            assert conv_cfg is None, 'shim supports plain Conv2d only'
+            if bias == 'auto':
+                bias = norm_cfg is None
+            self.order = order
+            self.conv = nn.Conv2d(in_channels, out_channels, kernel_size,
+                                  stride=stride, padding=padding,
+                                  dilation=dilation, groups=groups, bias=bias)
+            self.with_norm = norm_cfg is not None
+            if self.with_norm:
+                assert norm_cfg.get('type', 'BN') == 'BN'
+                self.bn = nn.BatchNorm2d(out_channels)
+            self.with_activation = act_cfg is not None
+            if self.with_activation:
+                self.activate = build_activation_layer(act_cfg)
+
+        def forward(self, x):
+            for layer in self.order:
+                if layer == 'conv':
+                    x = self.conv(x)
+                elif layer == 'norm' and self.with_norm:
+                    x = self.bn(x)
+                elif layer == 'act' and self.with_activation:
+                    x = self.activate(x)
+            return x
+
+    def conv3x3(in_planes, out_planes, stride=1, dilation=1):
+        return nn.Conv2d(in_planes, out_planes, kernel_size=3, stride=stride,
+                         padding=dilation, dilation=dilation, bias=False)
+
+    class _MMCVBasicBlock(nn.Module):
+        """mmcv.cnn.resnet.BasicBlock (mmcv 1.x), the base of mmocr's
+        BasicBlock (reference conv_layer.py:12-33)."""
+        expansion = 1
+
+        def __init__(self, inplanes, planes, stride=1, dilation=1,
+                     downsample=None, style='pytorch', with_cp=False):
+            super().__init__()
+            assert not with_cp
+            self.conv1 = conv3x3(inplanes, planes, stride, dilation)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv2 = conv3x3(planes, planes)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.downsample = downsample
+            self.stride = stride
+            self.dilation = dilation
+
+        def forward(self, x):
+            residual = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            if self.downsample is not None:
+                residual = self.downsample(x)
+            out = out + residual
+            return self.relu(out)
+
+    class BaseModule(nn.Module):
+        """mmcv.runner.BaseModule subset (init_cfg is carried, not acted on —
+        parity tests copy the torch weights, so init scheme is irrelevant)."""
+
+        def __init__(self, init_cfg=None):
+            super().__init__()
+            self._is_init = False
+            self.init_cfg = init_cfg
+
+        def init_weights(self):
+            self._is_init = True
+
+    mmcv = _module('mmcv')
+    mmcv.__shim__ = True
+    cnn = _module('mmcv.cnn')
+    cnn.ConvModule = ConvModule
+    cnn.build_activation_layer = build_activation_layer
+    resnet = _module('mmcv.cnn.resnet')
+    resnet.BasicBlock = _MMCVBasicBlock
+    resnet.conv3x3 = conv3x3
+    runner = _module('mmcv.runner')
+    runner.BaseModule = BaseModule
+    runner.ModuleList = nn.ModuleList
+    runner.Sequential = nn.Sequential
+    mmcv.cnn = cnn
+    mmcv.runner = runner
+
+    class DropPath(nn.Module):
+        """timm stochastic depth; identity when p=0 or eval (the parity
+        tests always run eval-mode)."""
+
+        def __init__(self, drop_prob=0.):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            if self.drop_prob == 0. or not self.training:
+                return x
+            keep = 1 - self.drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = keep + torch.rand(shape, dtype=x.dtype, device=x.device)
+            return x.div(keep) * mask.floor_()
+
+    layers = _module('timm.models.layers')
+    layers.DropPath = DropPath
+
+
+class _Registry:
+    """No-op stand-in for mmcv Registry: decorator returns class unchanged."""
+
+    def register_module(self, *args, **kwargs):
+        if args and isinstance(args[0], type):
+            return args[0]
+
+        def deco(cls):
+            return cls
+
+        return deco
+
+
+def _install_mmocr_skeleton():
+    import torch.nn as nn
+
+    builder = _module('mmocr.models.builder')
+    for reg in ('BACKBONES', 'DECODERS', 'ENCODERS', 'PREPROCESSOR',
+                'CONVERTORS', 'LOSSES', 'RECOGNIZERS', 'DETECTORS', 'HEADS',
+                'NECKS', 'FUSERS'):
+        setattr(builder, reg, _Registry())
+    from mmcv.cnn import build_activation_layer  # the shim installed above
+    builder.build_activation_layer = build_activation_layer
+
+    utils = _module('mmocr.utils')
+
+    def is_type_list(seq, expected_type):
+        return isinstance(seq, list) and all(
+            isinstance(item, expected_type) for item in seq)
+
+    utils.is_type_list = is_type_list
+
+    # dead fork imports (SURVEY §2.11): inert placeholders so module-level
+    # `from ... import X` succeeds; instantiating any of them is a test bug
+    class _Deleted:
+        def __init__(self, *a, **k):
+            raise RuntimeError('reference module was deleted upstream')
+
+    tps = _module('mmocr.models.textrecog.backbones.tps')
+    for name in ('U_TPSnet', 'Deform_net', 'DAttentionBaseline', 'UDAT_Net',
+                 'TPSnet', 'TPSnet_Warp', 'TPSnetv2'):
+        setattr(tps, name, _Deleted)
+    trans = _module('mmocr.models.textrecog.decoders.Trans')
+    trans.TFCommonDecoderLayer = _Deleted
+    # resnet_v2_large.py:12 imports the reference's own tools package; give
+    # it a no-op draw_feature_map without shadowing our repo's tools/ dir
+    vf = _module('tools.data.textrecog.visual_feat')
+    vf.draw_feature_map = lambda *a, **k: None
+    _ = nn  # keep import local-use explicit
+
+
+def _load(relpath: str, dotted: str) -> types.ModuleType:
+    if dotted in sys.modules and hasattr(sys.modules[dotted], '__file__'):
+        return sys.modules[dotted]
+    path = f'{REFERENCE_ROOT}/{relpath}'
+    spec = importlib.util.spec_from_file_location(dotted, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[dotted] = mod
+    parent, _, child = dotted.rpartition('.')
+    if parent:
+        setattr(_module(parent), child, mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_loaded = None
+
+
+def load_reference():
+    """Install shims + load the reference modules; returns a namespace with
+    the classes needed by the parity tests. Idempotent."""
+    global _loaded
+    if _loaded is not None:
+        return _loaded
+
+    _install_mmcv_shim()
+    _install_mmocr_skeleton()
+
+    tm = _load('mmocr/models/common/modules/transformer_module.py',
+               'mmocr.models.common.modules.transformer_module')
+    modules_pkg = _module('mmocr.models.common.modules')
+    for name in ('ScaledDotProductAttention', 'MultiHeadAttention',
+                 'PositionwiseFeedForward', 'PositionalEncoding'):
+        setattr(modules_pkg, name, getattr(tm, name))
+
+    tl = _load('mmocr/models/common/layers/transformer_layers.py',
+               'mmocr.models.common.layers.transformer_layers')
+    common_pkg = _module('mmocr.models.common')
+    for name in ('PositionalEncoding', 'MultiHeadAttention',
+                 'PositionwiseFeedForward'):
+        setattr(common_pkg, name, getattr(tm, name))
+    for name in ('TFEncoderLayer', 'TFDecoderLayer'):
+        setattr(common_pkg, name, getattr(tl, name))
+
+    cl = _load('mmocr/models/textrecog/layers/conv_layer.py',
+               'mmocr.models.textrecog.layers.conv_layer')
+    ll = _load('mmocr/models/textrecog/layers/lstm_layer.py',
+               'mmocr.models.textrecog.layers.lstm_layer')
+    layers_pkg = _module('mmocr.models.textrecog.layers')
+    layers_pkg.BasicBlock = cl.BasicBlock
+    layers_pkg.Bottleneck = cl.Bottleneck
+    layers_pkg.BidirectionalLSTM = ll.BidirectionalLSTM
+
+    dgab = _load('mmocr/models/textrecog/backbones/tps_pp/DGAB.py',
+                 'mmocr.models.textrecog.backbones.tps_pp.DGAB')
+    tps_pp = _load('mmocr/models/textrecog/backbones/tps_pp/tps_pp.py',
+                   'mmocr.models.textrecog.backbones.tps_pp.tps_pp')
+    rv2 = _load('mmocr/models/textrecog/backbones/resnet_v2_large.py',
+                'mmocr.models.textrecog.backbones.resnet_v2_large')
+    vgg = _load('mmocr/models/textrecog/backbones/very_deep_vgg.py',
+                'mmocr.models.textrecog.backbones.very_deep_vgg')
+
+    _load('mmocr/models/textrecog/encoders/base_encoder.py',
+          'mmocr.models.textrecog.encoders.base_encoder')
+    enc = _load('mmocr/models/textrecog/encoders/nrtr_encoder.py',
+                'mmocr.models.textrecog.encoders.nrtr_encoder')
+    _load('mmocr/models/textrecog/decoders/base_decoder.py',
+          'mmocr.models.textrecog.decoders.base_decoder')
+    dec = _load('mmocr/models/textrecog/decoders/nrtr_decoder.py',
+                'mmocr.models.textrecog.decoders.nrtr_decoder')
+    crnn = _load('mmocr/models/textrecog/decoders/crnn_decoder.py',
+                 'mmocr.models.textrecog.decoders.crnn_decoder')
+
+    ns = types.SimpleNamespace(
+        TPS_PP=tps_pp.TPS_PP,
+        DGAB=dgab.DGAB,
+        TFEncoderLayer=tl.TFEncoderLayer,
+        TFDecoderLayer=tl.TFDecoderLayer,
+        MultiHeadAttention=tm.MultiHeadAttention,
+        PositionwiseFeedForward=tm.PositionwiseFeedForward,
+        PositionalEncoding=tm.PositionalEncoding,
+        ResNetABI_v2_large=rv2.ResNetABI_v2_large,
+        VeryDeepVgg=vgg.VeryDeepVgg,
+        NRTREncoder=enc.NRTREncoder,
+        NRTRDecoder=dec.NRTRDecoder,
+        CRNNDecoder=crnn.CRNNDecoder,
+        BidirectionalLSTM=ll.BidirectionalLSTM,
+    )
+    _loaded = ns
+    return ns
