@@ -172,3 +172,142 @@ class NerDataset:
             gt_tags.append([self.id2tag[int(t)] for t in
                             item['labels'][:n]])
         return eval_ner_f1(pred_tags, gt_tags)
+
+
+@DATASETS.register_module()
+class OpensetKIEDataset(KIEDataset):
+    """Openset KIE (reference ``datasets/openset_kie_dataset.py:11-308``):
+    nodes are classified bg/key/value/other and key-value *pairs* are decoded
+    from the predicted edge matrix, then scored with openset micro/macro F1.
+
+    Annotations additionally carry per-node ``edge`` ids: a key and a value
+    sharing an edge id form a gt pair.
+    """
+
+    def __init__(self, ann_file, link_type='one-to-one', edge_thr=0.5,
+                 key_node_idx=1, value_node_idx=2, node_classes=4, **kwargs):
+        super().__init__(ann_file, **kwargs)
+        assert link_type in ('one-to-one', 'one-to-many', 'many-to-one',
+                             'many-to-many', 'none')
+        self.link_type = link_type
+        self.edge_thr = edge_thr
+        self.key_node_idx = key_node_idx
+        self.value_node_idx = value_node_idx
+        self.node_classes = node_classes
+        self.data_dict = {ln['file_name']: ln for ln in self.lines}
+
+    def __getitem__(self, index: int) -> Dict:
+        out = super().__getitem__(index)
+        anns = self.lines[index]['annotations'][:self.max_nodes]
+        # openset edge supervision: same edge id AND key->value direction
+        # (reference openset semantics, not the closed-set same-label rule)
+        n = len(anns)
+        edges = np.full((self.max_nodes, self.max_nodes), -1, np.int32)
+        if n:
+            eid = np.asarray([a.get('edge', -1) for a in anns])
+            lab = np.asarray([a.get('label', 0) for a in anns])
+            same = (eid[:, None] == eid[None, :]) & (eid[:, None] >= 0)
+            kv = (lab[:, None] == self.key_node_idx) & \
+                 (lab[None, :] == self.value_node_idx)
+            edges[:n, :n] = (same & (kv | kv.T)).astype(np.int32)
+        out['edge_labels'] = edges
+        return out
+
+    def _decode_pairs_gt(self, labels, edge_ids):
+        """(reference openset_kie_dataset.py:98-112)"""
+        gt_pairs = []
+        for i, label in enumerate(labels):
+            if label == self.key_node_idx:
+                for j, edge_id in enumerate(edge_ids):
+                    if edge_id == edge_ids[i] and \
+                            labels[j] == self.value_node_idx:
+                        gt_pairs.append((i, j))
+        return gt_pairs
+
+    def _decode_pairs_pred(self, nodes, labels, edges):
+        """(reference openset_kie_dataset.py:114-153) — numpy port."""
+        edges = np.maximum(edges, edges.T)
+        if self.link_type in ('none', 'many-to-many'):
+            n1s, n2s = np.nonzero(edges > self.edge_thr)
+            pred_pairs = [(int(a), int(b)) if nodes[a, 1] > nodes[a, 2]
+                          else (int(b), int(a))
+                          for a, b in zip(n1s, n2s) if a < b]
+            pred_pairs = [(i, j) for i, j in pred_pairs
+                          if labels[i] == self.key_node_idx and
+                          labels[j] == self.value_node_idx]
+        else:
+            links = edges.copy()
+            links[links <= self.edge_thr] = -1
+            links[labels != self.key_node_idx, :] = -1
+            links[:, labels != self.value_node_idx] = -1
+            pred_pairs = []
+            while (links > -1).any():
+                i, j = np.unravel_index(np.argmax(links), links.shape)
+                pred_pairs.append((int(i), int(j)))
+                if self.link_type == 'one-to-one':
+                    links[i, :] = -1
+                    links[:, j] = -1
+                elif self.link_type == 'one-to-many':
+                    links[:, j] = -1
+                elif self.link_type == 'many-to-one':
+                    links[i, :] = -1
+        conf = [float(edges[i, j]) for i, j in pred_pairs]
+        return pred_pairs, conf
+
+    def decode_pred(self, result: Dict) -> Dict:
+        """result: {'filename', 'nodes' (n, C) softmax, 'edges' (n, n)
+        link probability}."""
+        filename = result['filename']
+        nodes = np.asarray(result['nodes'], np.float32)
+        edges = np.asarray(result['edges'], np.float32)
+        labels = nodes.argmax(-1)
+        pairs, pairs_conf = self._decode_pairs_pred(nodes, labels, edges)
+        return {'filename': filename, 'labels': labels.tolist(),
+                'pairs': pairs, 'pairs_conf': pairs_conf}
+
+    def decode_gt(self, filename: str) -> Dict:
+        annos = self.data_dict[filename]['annotations'][:self.max_nodes]
+        labels = [int(a.get('label', 0)) for a in annos]
+        edge_ids = [a.get('edge', -1) for a in annos]
+        pairs = self._decode_pairs_gt(labels, edge_ids)
+        return {'filename': filename, 'labels': labels, 'pairs': pairs,
+                'pairs_conf': [1.0] * len(pairs)}
+
+    def evaluate(self, results, metric='openset_f1', **kwargs) -> Dict:
+        preds = [self.decode_pred(r) for r in results]
+        gts = [self.decode_gt(p['filename']) for p in preds]
+        return self.compute_openset_f1(preds, gts)
+
+    def compute_openset_f1(self, preds, gts) -> Dict:
+        """(reference openset_kie_dataset.py:212-308)"""
+        tot_edge_hit = tot_edge_gt = tot_edge_pred = 0
+        hit = {i: 0 for i in range(self.node_classes)}
+        gt_n = {i: 0 for i in range(self.node_classes)}
+        pred_n = {i: 0 for i in range(self.node_classes)}
+        for pred, gt in zip(preds, gts):
+            tot_edge_hit += sum(1 for p in gt['pairs'] if p in pred['pairs'])
+            tot_edge_gt += len(gt['pairs'])
+            tot_edge_pred += len(pred['pairs'])
+            for i, g in enumerate(gt['labels']):
+                g = int(g)
+                gt_n[g] += 1
+                if int(pred['labels'][i]) == g:
+                    hit[g] += 1
+            for p in pred['labels']:
+                pred_n[int(p)] += 1
+        er = tot_edge_hit / max(1, tot_edge_gt)
+        ep = tot_edge_hit / max(1, tot_edge_pred)
+        stats = {'edge_openset_f1': 2 * er * ep / max(1, er + ep)}
+        cared = [self.key_node_idx, self.value_node_idx]
+        ch = sum(hit[i] for i in cared)
+        cg = sum(gt_n[i] for i in cared)
+        cp = sum(pred_n[i] for i in cared)
+        macro = []
+        for i in cared:
+            r = hit[i] / max(1, gt_n[i])
+            p = hit[i] / max(1, pred_n[i])
+            macro.append(2 * r * p / max(1, r + p))
+        mr, mp = ch / max(1, cg), ch / max(1, cp)
+        stats['node_openset_micro_f1'] = 2 * mr * mp / max(1, mr + mp)
+        stats['node_openset_macro_f1'] = float(np.mean(macro))
+        return stats
