@@ -38,7 +38,10 @@ def init_recognizer(config: Union[str, Dict], checkpoint: Optional[str] = None,
 
     rec = build_recognizer(model_cfg)
     if input_shape is None:
-        input_shape = (1, 32, 128, 3)
+        # configs may pin (H, W, C) — e.g. CRNN's grayscale (32, 100, 1)
+        cfg_shape = cfg.get('input_shape') if hasattr(cfg, 'get') else None
+        input_shape = ((1, *cfg_shape) if cfg_shape is not None
+                       else (1, 32, 128, 3))
     variables = rec.init_variables(jax.random.PRNGKey(rng_seed), input_shape)
     if checkpoint:
         from ..utils.checkpoint import CheckpointManager, load_variables

@@ -70,3 +70,25 @@ def draw_point_map(img: np.ndarray, control_points: np.ndarray,
         os.makedirs(os.path.dirname(out_file) or '.', exist_ok=True)
         cv2.imwrite(out_file, canvas)
     return canvas
+
+
+def det_recog_show_result(img: np.ndarray, end2end_res: dict,
+                          out_file: Optional[str] = None) -> np.ndarray:
+    """Draw det boxes + recognized texts side by side (reference
+    core/visualize.py:643 det_recog_show_result): left = image with green
+    polygons, right = white canvas with the texts at box positions."""
+    import cv2
+    img = np.ascontiguousarray(img)
+    h, w = img.shape[:2]
+    canvas = np.full((h, w, 3), 255, np.uint8)
+    boxed = img.copy()
+    for r in end2end_res.get('result', []):
+        box = np.asarray(r['box'], np.float32).reshape(-1, 2).astype(np.int32)
+        cv2.polylines(boxed, [box], True, (0, 255, 0), 2)
+        org = (int(box[:, 0].min()), max(12, int(box[:, 1].min())))
+        cv2.putText(canvas, str(r.get('text', '')), org,
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 0, 0), 1)
+    out = np.concatenate([boxed, canvas], axis=1)
+    if out_file:
+        cv2.imwrite(out_file, out)
+    return out
