@@ -300,3 +300,105 @@ def test_ocr_seg_dataset_and_training_path(tmp_path):
     # eval protocol plumbs through
     res = ds.evaluate([{'text': 'ab'}])
     assert res['word_acc_ignore_case_symbol'] == 1.0
+
+
+# ---------------------------------------------------- FCENet / TextSnake --
+
+def test_fcenet_forward_loss_and_roundtrip():
+    from tps_pp_tpu.models.textdet import (FCEHead, FCELoss, FCENetModule,
+                                           FCENetTargets, FCEPostprocessor,
+                                           FPNDet)
+    k = 5
+    model = FCENetModule(
+        backbone=ResNetDet(stage_blocks=(1, 1, 1, 1), base_channels=8),
+        neck=FPNDet(in_channels=(16, 32, 64), out_channels=16),
+        head=FCEHead(in_channels=16, fourier_degree=k))
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), img)
+    preds = model.apply(v, img)
+    assert len(preds) == 3
+    assert preds[0][0].shape == (1, 8, 8, 4)          # stride 8 cls
+    assert preds[0][1].shape == (1, 8, 8, 2 * (2 * k + 1))
+
+    tg = FCENetTargets(fourier_degree=k)
+    # proportion = max(box_h, box_w)/h = 16/64 = 0.25 -> level p3 only
+    # (level ranges overlap: 0.3-0.4 goes to BOTH p3 and p4)
+    poly = np.array([4, 10, 20, 10, 20, 20, 4, 20], np.float32)
+    res = tg({'img': np.zeros((64, 64, 3), np.uint8), 'gt_polygons': [poly]})
+    assert res['p3_maps'].shape == (8, 8, 4 * k + 5)
+    # the text lands on level p3 only (proportion 0.25 in (0, 0.4))
+    assert res['p3_maps'][..., 0].sum() > 0
+    assert res['p4_maps'][..., 0].sum() == 0
+
+    targets = {key: jnp.asarray(res[key])[None]
+               for key in ('p3_maps', 'p4_maps', 'p5_maps')}
+    losses = FCELoss(fourier_degree=k, num_sample=20)(preds, targets)
+    assert set(losses) == {'loss_text', 'loss_center', 'loss_reg_x',
+                           'loss_reg_y'}
+    assert all(np.isfinite(float(x)) for x in losses.values())
+
+    # postprocess round trip: craft logits whose Fourier maps are the GT
+    H = W = 32
+    cls = np.full((H, W, 4), -8.0, np.float32)
+    reg = np.zeros((H, W, 2 * (2 * k + 1)), np.float32)
+    tg2 = FCENetTargets(fourier_degree=k, level_size_divisors=(1,),
+                        level_proportion_range=((0, 2.0),))
+    poly2 = np.array([4, 8, 28, 8, 28, 24, 4, 24], np.float32)
+    maps = tg2.generate_level_targets((H, W), [poly2], [])[0]
+    cls[..., 1] = np.where(maps[..., 0] > 0, 8.0, -8.0)
+    cls[..., 0] = -cls[..., 1]
+    cls[..., 3] = np.where(maps[..., 1] > 0, 8.0, -8.0)
+    cls[..., 2] = -cls[..., 3]
+    reg[..., :2 * k + 1] = maps[..., 3:3 + 2 * k + 1]
+    reg[..., 2 * k + 1:] = maps[..., 3 + 2 * k + 1:]
+    post = FCEPostprocessor(fourier_degree=k, num_reconstr_points=24,
+                            scales=(1,))
+    boundaries = post([(cls, reg)])
+    assert len(boundaries) >= 1
+    pts = boundaries[0][:-1].reshape(-1, 2)
+    # reconstructed contour lies around the gt box
+    assert 0 <= pts[:, 0].min() <= 10 and 22 <= pts[:, 0].max() <= 34
+
+
+def test_textsnake_forward_loss_and_roundtrip():
+    from tps_pp_tpu.models.textdet import (FPN_UNet, TextSnakeHead,
+                                           TextSnakeLoss, TextSnakeModule,
+                                           TextSnakePostprocessor,
+                                           TextSnakeTargets)
+    model = TextSnakeModule(
+        backbone=ResNetDet(stage_blocks=(1, 1, 1, 1), base_channels=8),
+        neck=FPN_UNet(in_channels=(8, 16, 32, 64), out_channels=8),
+        head=TextSnakeHead())
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), img)
+    preds = model.apply(v, img)
+    assert preds.shape == (1, 64, 64, 5)  # full resolution
+
+    tg = TextSnakeTargets()
+    poly = np.array([8, 20, 56, 20, 56, 40, 8, 40], np.float32)
+    t = tg.generate([poly], [], 64, 64)
+    assert t['gt_text_mask'].sum() > 0
+    assert 0 < t['gt_center_region_mask'].sum() < t['gt_text_mask'].sum()
+    inside = t['gt_center_region_mask'] > 0
+    assert t['gt_radius_map'][inside].mean() > 2    # ~half box height
+    np.testing.assert_allclose(np.abs(t['gt_cos_map'][inside]).mean(), 1.0,
+                               atol=0.1)            # horizontal text
+
+    targets = {key: jnp.asarray(val)[None] for key, val in t.items()}
+    losses = TextSnakeLoss()(preds, targets)
+    assert set(losses) == {'loss_text', 'loss_center', 'loss_radius',
+                           'loss_sin', 'loss_cos'}
+    assert all(np.isfinite(float(x)) for x in losses.values())
+
+    # postprocess round trip from the gt maps
+    logits = np.zeros((64, 64, 5), np.float32)
+    logits[..., 0] = np.where(t['gt_text_mask'] > 0, 8.0, -8.0)
+    logits[..., 1] = np.where(t['gt_center_region_mask'] > 0, 8.0, -8.0)
+    logits[..., 2] = t['gt_sin_map']
+    logits[..., 3] = t['gt_cos_map']
+    logits[..., 4] = t['gt_radius_map']
+    post = TextSnakePostprocessor()
+    boundaries = post(logits)
+    assert len(boundaries) == 1
+    pts = boundaries[0][:-1].reshape(-1, 2)
+    assert pts[:, 0].min() < 20 and pts[:, 0].max() > 44

@@ -1,15 +1,24 @@
 from .dbnet import ResNetDet, FPNC, DBHead, DBLoss, DBNetModule
 from .pan import (Bottleneck, FPEM_FFM, FPNF, PANHead, PANLoss, PANetModule,
                   PSELoss, ResNetDet50)
-from .targets import DBNetTargets, PANetTargets, PSENetTargets
-from .postprocess import (DBPostprocessor, PANPostprocessor,
-                          PSEPostprocessor, eval_hmean_iou, points2boundary)
+from .fce_textsnake import (FCEHead, FCELoss, FCENetModule, FPNDet, FPN_UNet,
+                            TextSnakeHead, TextSnakeLoss, TextSnakeModule)
+from .targets import (DBNetTargets, FCENetTargets, PANetTargets,
+                      PSENetTargets, TextSnakeTargets)
+from .postprocess import (DBPostprocessor, FCEPostprocessor,
+                          PANPostprocessor, PSEPostprocessor,
+                          TextSnakePostprocessor, eval_hmean_iou,
+                          points2boundary, poly_nms)
 
 __all__ = [
     'ResNetDet', 'FPNC', 'DBHead', 'DBLoss', 'DBNetModule',
     'Bottleneck', 'FPEM_FFM', 'FPNF', 'PANHead', 'PANLoss', 'PANetModule',
     'PSELoss', 'ResNetDet50',
-    'DBNetTargets', 'PANetTargets', 'PSENetTargets',
-    'DBPostprocessor', 'PANPostprocessor', 'PSEPostprocessor',
-    'eval_hmean_iou', 'points2boundary',
+    'FCEHead', 'FCELoss', 'FCENetModule', 'FPNDet', 'FPN_UNet',
+    'TextSnakeHead', 'TextSnakeLoss', 'TextSnakeModule',
+    'DBNetTargets', 'FCENetTargets', 'PANetTargets', 'PSENetTargets',
+    'TextSnakeTargets',
+    'DBPostprocessor', 'FCEPostprocessor', 'PANPostprocessor',
+    'PSEPostprocessor', 'TextSnakePostprocessor', 'eval_hmean_iou',
+    'points2boundary', 'poly_nms',
 ]
