@@ -3,7 +3,10 @@ from .pan import (Bottleneck, FPEM_FFM, FPNF, PANHead, PANLoss, PANetModule,
                   PSELoss, ResNetDet50)
 from .fce_textsnake import (FCEHead, FCELoss, FCENetModule, FPNDet, FPN_UNet,
                             TextSnakeHead, TextSnakeLoss, TextSnakeModule)
-from .targets import (DBNetTargets, FCENetTargets, PANetTargets,
+from .drrg import (DRRGDetector, DRRGHead, DRRGLoss, DRRGPostprocessor,
+                   GCN, LocalGraphs, ProposalLocalGraphs,
+                   roi_align_rotated_np)
+from .targets import (DBNetTargets, DRRGTargets, FCENetTargets, PANetTargets,
                       PSENetTargets, TextSnakeTargets)
 from .postprocess import (DBPostprocessor, FCEPostprocessor,
                           PANPostprocessor, PSEPostprocessor,
@@ -16,8 +19,10 @@ __all__ = [
     'PSELoss', 'ResNetDet50',
     'FCEHead', 'FCELoss', 'FCENetModule', 'FPNDet', 'FPN_UNet',
     'TextSnakeHead', 'TextSnakeLoss', 'TextSnakeModule',
-    'DBNetTargets', 'FCENetTargets', 'PANetTargets', 'PSENetTargets',
-    'TextSnakeTargets',
+    'DRRGDetector', 'DRRGHead', 'DRRGLoss', 'DRRGPostprocessor', 'GCN',
+    'LocalGraphs', 'ProposalLocalGraphs', 'roi_align_rotated_np',
+    'DBNetTargets', 'DRRGTargets', 'FCENetTargets', 'PANetTargets',
+    'PSENetTargets', 'TextSnakeTargets',
     'DBPostprocessor', 'FCEPostprocessor', 'PANPostprocessor',
     'PSEPostprocessor', 'TextSnakePostprocessor', 'eval_hmean_iou',
     'points2boundary', 'poly_nms',

@@ -339,3 +339,136 @@ class FCENetTargets:
         for i, m in enumerate(maps):
             results[f'p{i + 3}_maps'] = m
         return results
+
+
+@PIPELINES.register_module()
+class DRRGTargets:
+    """DRRG gt generation (reference textdet_targets/drrg_targets.py:17-534):
+    text/center masks, top/bottom height + sin/cos attribute maps, and the
+    padded text-component attributes (num, x, y, h, w, cos, sin, label) that
+    supervise the GCN."""
+
+    def __init__(self, orientation_thr=2.0, resample_step=8.0,
+                 num_min_comps=9, num_max_comps=600, min_width=8.0,
+                 max_width=24.0, center_region_shrink_ratio=0.3,
+                 comp_shrink_ratio=1.0, comp_w_h_ratio=0.3,
+                 text_comp_nms_thr=0.25, min_rand_half_height=8.0,
+                 max_rand_half_height=24.0, jitter_level=0.2):
+        self.orientation_thr = orientation_thr
+        self.resample_step = resample_step
+        self.num_min_comps = num_min_comps
+        self.num_max_comps = num_max_comps
+        self.min_width = min_width
+        self.max_width = max_width
+        self.center_region_shrink_ratio = center_region_shrink_ratio
+        self.comp_shrink_ratio = comp_shrink_ratio
+        self.comp_w_h_ratio = comp_w_h_ratio
+        self.text_comp_nms_thr = text_comp_nms_thr
+
+    def _attrib_maps(self, polygons, h, w):
+        """Center mask + top/bot height + sin/cos, drawn per center-line
+        segment (reference drrg_targets.py draw_center_region_maps)."""
+        from . import sidelines as sl
+        center_mask = np.zeros((h, w), np.uint8)
+        top_map = np.zeros((h, w), np.float32)
+        bot_map = np.zeros((h, w), np.float32)
+        sin_map = np.zeros((h, w), np.float32)
+        cos_map = np.zeros((h, w), np.float32)
+        center_lines = []
+        for poly in polygons:
+            pts = np.asarray(poly, np.float32).reshape(-1, 2)
+            if len(pts) < 4:
+                continue
+            top, bot, center = sl.sideline_center(pts, self.resample_step)
+            top, bot, center = sl.shrink_ends(top, bot, center,
+                                              self.resample_step)
+            center_lines.append(center.astype(np.int32))
+            for i in range(len(center) - 1):
+                th = np.linalg.norm((top[i] + top[i + 1]) / 2 -
+                                    (center[i] + center[i + 1]) / 2)
+                bh = np.linalg.norm((bot[i] + bot[i + 1]) / 2 -
+                                    (center[i] + center[i + 1]) / 2)
+                d = center[i + 1] - center[i]
+                s, c = sl.vector_sin(d), sl.vector_cos(d)
+                r = self.center_region_shrink_ratio
+                quad = np.vstack([
+                    center[i] + (top[i] - center[i]) * r,
+                    center[i + 1] + (top[i + 1] - center[i + 1]) * r,
+                    center[i + 1] + (bot[i + 1] - center[i + 1]) * r,
+                    center[i] + (bot[i] - center[i]) * r,
+                ]).astype(np.int32)
+                cv2.fillPoly(center_mask, [quad], 1)
+                cv2.fillPoly(top_map, [quad], float(max(th, 1.0)))
+                cv2.fillPoly(bot_map, [quad], float(max(bh, 1.0)))
+                cv2.fillPoly(sin_map, [quad], float(s))
+                cv2.fillPoly(cos_map, [quad], float(c))
+        return center_mask, top_map, bot_map, sin_map, cos_map, center_lines
+
+    def generate_comp_attribs(self, center_lines, center_mask, top_map,
+                              bot_map, sin_map, cos_map):
+        """Sample components along center lines
+        (reference drrg_targets.py:368-480)."""
+        from .postprocess import poly_nms
+        h, w = center_mask.shape
+        lines_mask = np.zeros_like(center_mask)
+        if center_lines:
+            cv2.polylines(lines_mask, center_lines, False, 1, 1)
+        lines_mask = lines_mask * center_mask
+        centers = np.argwhere(lines_mask > 0)
+        comps = []
+        for y, x in centers:
+            th = top_map[y, x] * self.comp_shrink_ratio
+            bh = bot_map[y, x] * self.comp_shrink_ratio
+            s, c = sin_map[y, x], cos_map[y, x]
+            top_mid = np.array([x - th * s, y - th * c])
+            bot_mid = np.array([x + bh * s, y + bh * c])
+            width = np.clip((th + bh) * self.comp_w_h_ratio,
+                            self.min_width, self.max_width)
+            r = width / 2
+            dx, dy = c * r, -s * r
+            quad = np.array([top_mid + [-dx, -dy], top_mid + [dx, dy],
+                             bot_mid + [dx, dy], bot_mid + [-dx, -dy]])
+            comps.append(np.hstack([quad.reshape(-1), [1.0]]))
+        if not comps:
+            return np.zeros((0, 8), np.float32)
+        comps = np.asarray(
+            poly_nms([cp.tolist() for cp in comps], self.text_comp_nms_thr),
+            np.float32)[:self.num_max_comps]
+        centers2 = comps[:, 0:8].reshape(-1, 4, 2).mean(axis=1)
+        cx = np.clip(centers2[:, 0].astype(np.int32), 0, w - 1)
+        cy = np.clip(centers2[:, 1].astype(np.int32), 0, h - 1)
+        height = np.maximum(top_map[cy, cx] + bot_map[cy, cx], 2.0)
+        width = np.clip(height * self.comp_w_h_ratio, self.min_width,
+                        self.max_width)
+        _, label_mask = cv2.connectedComponents(center_mask, connectivity=8)
+        labels = label_mask[cy, cx].astype(np.float32)
+        attribs = np.stack([
+            centers2[:, 0], centers2[:, 1], height, width,
+            cos_map[cy, cx], sin_map[cy, cx], labels], axis=1)
+        return attribs.astype(np.float32)
+
+    def generate(self, polygons, polygons_ignore, h, w):
+        from . import sidelines as sl
+        gt_text = sl.generate_text_region_mask((h, w), polygons)
+        gt_mask = sl.generate_effective_mask((h, w), polygons_ignore)
+        (center_mask, top_map, bot_map, sin_map, cos_map,
+         center_lines) = self._attrib_maps(polygons, h, w)
+        comp_attribs = self.generate_comp_attribs(
+            center_lines, center_mask, top_map, bot_map, sin_map, cos_map)
+        return {
+            'gt_text_mask': gt_text.astype(np.float32),
+            'gt_center_region_mask': center_mask.astype(np.float32),
+            'gt_mask': gt_mask.astype(np.float32),
+            'gt_top_height_map': top_map,
+            'gt_bot_height_map': bot_map,
+            'gt_sin_map': sin_map,
+            'gt_cos_map': cos_map,
+            'gt_comp_attribs': comp_attribs,
+        }
+
+    def __call__(self, results: Dict) -> Dict:
+        h, w = results['img'].shape[:2]
+        results.update(self.generate(results.get('gt_polygons', []),
+                                     results.get('gt_polygons_ignore', []),
+                                     h, w))
+        return results
