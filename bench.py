@@ -56,7 +56,14 @@ def main():
     iters = int(os.environ.get('BENCH_ITERS', '3'))
     warmup = int(os.environ.get('BENCH_WARMUP', '2'))
 
-    rec = build_recognizer(nrtr_tps_pp_cfg(dtype='bfloat16'))
+    # int8 KV caches + enc-K/V (greedy-argmax-parity validated in
+    # tests/test_reference_parity.py); BENCH_KV=bfloat16 restores the
+    # full-precision path
+    kv_dtype = os.environ.get('BENCH_KV', 'bfloat16')
+    decode_mode = os.environ.get('BENCH_DECODE', 'fused40')
+    rec = build_recognizer(nrtr_tps_pp_cfg(dtype='bfloat16',
+                                           kv_dtype=kv_dtype,
+                                           decode_mode=decode_mode))
     h, w, c = FLAGSHIP_INPUT
     variables = rec.init_variables(jax.random.PRNGKey(0), (2, h, w, c))
     variables = jax.device_put(variables)

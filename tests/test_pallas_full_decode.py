@@ -1,0 +1,50 @@
+"""Whole-decode pallas kernel vs the XLA KV-cached greedy path."""
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.heavy
+
+import jax
+import jax.numpy as jnp
+
+from tps_pp_tpu.models.decoders.nrtr import NRTRDecoder
+
+
+def test_full_decode_kernel_matches_xla_greedy(monkeypatch):
+    import tps_pp_tpu.ops.pallas_full_decode as pfd
+    orig = pfd.full_greedy_decode
+
+    def interp(*args, **kwargs):
+        kwargs['interpret'] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pfd, 'full_greedy_decode', interp)
+
+    rng = np.random.default_rng(0)
+    mod = NRTRDecoder(n_layers=2, num_classes=39, max_seq_len=10,
+                      start_idx=1, padding_idx=38, dtype=jnp.float32)
+    out_enc = jnp.asarray(rng.standard_normal((4, 16, 512)), jnp.float32)
+    vr = jnp.asarray([0.6, 1.0, 0.8, 1.0], jnp.float32)
+    v = mod.init(jax.random.PRNGKey(0), None, out_enc,
+                 targets=jnp.full((4, 10), 38, jnp.int32), valid_ratio=vr)
+
+    # reference: XLA decode_init/decode_step greedy loop
+    carry, static = mod.apply(v, None, out_enc, vr, method='decode_init')
+    tok = jnp.full((4,), 1, jnp.int32)
+    ref_probs = []
+    for t in range(10):
+        p, carry = mod.apply(v, tok, t, carry, static, method='decode_step')
+        ref_probs.append(np.asarray(p))
+        tok = jnp.argmax(p, -1).astype(jnp.int32)
+    ref_probs = np.stack(ref_probs, axis=1)
+
+    got = np.asarray(mod.apply(v, None, out_enc, vr,
+                               method='fused_full_decode'))
+    assert got.shape == ref_probs.shape
+    np.testing.assert_array_equal(got.argmax(-1), ref_probs.argmax(-1))
+    np.testing.assert_allclose(got, ref_probs, atol=2e-2, rtol=5e-2)
+    # tight agreement on the argmax probabilities themselves
+    idx = ref_probs.argmax(-1)
+    gp = np.take_along_axis(got, idx[..., None], -1)
+    rp = np.take_along_axis(ref_probs, idx[..., None], -1)
+    np.testing.assert_allclose(gp, rp, atol=5e-3)

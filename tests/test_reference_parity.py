@@ -197,10 +197,15 @@ def test_nrtr_decoder_teacher_forced_parity():
                                atol=3e-5, rtol=1e-4)
 
 
-def test_nrtr_decoder_greedy_parity():
+@pytest.mark.parametrize('kv_dtype', ['float32', 'int8'])
+def test_nrtr_decoder_greedy_parity(kv_dtype):
     """Per-step distributions + argmax of our KV-cached decode vs the
-    reference's full-prefix recompute greedy loop (nrtr_decoder.py:153-177)."""
+    reference's full-prefix recompute greedy loop (nrtr_decoder.py:153-177).
+    The int8 variant validates the quantized-KV serving path: argmax
+    sequence must match the fp32 torch reference exactly."""
     ref, mod, sd, rules = _build_decoders()
+    if kv_dtype == 'int8':
+        mod = mod.clone(kv_dtype='int8')
     out_enc = torch.randn(2, 16, 512)
     metas = [{'valid_ratio': 0.6}, {'valid_ratio': 1.0}]
     with torch.no_grad():
@@ -226,7 +231,8 @@ def test_nrtr_decoder_greedy_parity():
     got = np.stack(probs, axis=1)
     assert got.shape == ref_probs.shape
     np.testing.assert_array_equal(got.argmax(-1), ref_probs.argmax(-1))
-    np.testing.assert_allclose(got, ref_probs, atol=2e-5, rtol=1e-4)
+    tol = 5e-3 if kv_dtype == 'int8' else 2e-5
+    np.testing.assert_allclose(got, ref_probs, atol=tol, rtol=1e-4)
 
 
 # ------------------------------------------------------ ResNetABI_v2_large --

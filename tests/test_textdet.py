@@ -480,3 +480,43 @@ def test_roi_align_rotated_identity():
     rois90 = np.array([[8.0, 6.0, 4.0, 8.0, np.pi / 2]])
     out90 = roi_align_rotated_np(feat, rois90, (4, 2))
     assert out90.mean() > 0.5
+
+
+# --------------------------------------------------------------- MaskRCNN --
+
+def test_maskrcnn_detect_and_rpn_loss():
+    from tps_pp_tpu.models.textdet import (BoxHead, FPNDet, MaskHead,
+                                           MaskRCNNDetector, MaskRCNNModule,
+                                           RPNHead, ResNetDet,
+                                           generate_anchors, nms_xyxy)
+    module = MaskRCNNModule(
+        backbone=ResNetDet(stage_blocks=(1, 1, 1, 1), base_channels=8),
+        neck=FPNDet(in_channels=(8, 16, 32, 64), out_channels=16),
+        rpn_head=RPNHead(feat_channels=16),
+        box_head=BoxHead(fc_out=64),
+        mask_head=MaskHead(channels=16))
+    det = MaskRCNNDetector(module, post_nms_top_n=20, score_thr=0.0)
+    variables = det.init_variables(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    img = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 64, 64, 3)), jnp.float32)
+    boundaries = det.detect(variables, img)
+    assert isinstance(boundaries, list)   # random init: structure only
+    for b in boundaries:
+        assert len(b) % 2 == 1 and b[-1] >= 0
+
+    # RPN loss with anchor assignment on a synthetic gt
+    levels, rpn_outs = module.apply(variables['main'], img)
+    feat_shapes = [np.asarray(lv).shape[1:3] for lv in levels]
+    labels, deltas = det.rpn_targets(feat_shapes,
+                                     [[8, 8, 40, 24]], (64, 64))
+    assert (labels == 1).sum() >= 1
+    losses = det.rpn_loss(rpn_outs, labels, deltas)
+    assert all(np.isfinite(float(x)) for x in losses.values())
+
+    # anchors/nms unit behavior
+    anc = generate_anchors([(8, 8)], strides=(4,))[0]
+    assert anc.shape == (8 * 8 * 5, 4)
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [30, 30, 40, 40]],
+                     np.float32)
+    keep = nms_xyxy(boxes, np.array([0.9, 0.8, 0.7]), 0.5, 10)
+    assert list(keep) == [0, 2]

@@ -9,7 +9,8 @@ topology at toy dims for CI / dryruns.
 from __future__ import annotations
 
 
-def nrtr_tps_pp_cfg(dtype: str = 'float32', tiny: bool = False):
+def nrtr_tps_pp_cfg(dtype: str = 'float32', tiny: bool = False,
+                    kv_dtype: str = 'bfloat16', decode_mode: str = 'steps'):
     if tiny:
         return dict(
             type='NRTR',
@@ -51,9 +52,11 @@ def nrtr_tps_pp_cfg(dtype: str = 'float32', tiny: bool = False):
         # measured. Kept for the op-bound regime (small batch serving).
         decoder=dict(type='NRTRDecoder', n_layers=6, d_embedding=512,
                      n_head=8, d_model=512, d_inner=1024, d_k=64, d_v=64,
-                     n_position=200, use_fused_step=False),
+                     n_position=200, use_fused_step=False,
+                     kv_dtype=kv_dtype),
         loss=dict(type='TFLoss'),
         max_seq_len=40,
+        decode_mode=decode_mode,
     )
 
 

@@ -77,6 +77,10 @@ class TextRecognizer:
         # stop the decode loop once every row emitted EOS (semantics
         # preserved — the codec ignores everything after the first EOS)
         self.early_exit = bool(cfg.get('early_exit', True))
+        # 'fused40': whole greedy decode in one pallas kernel
+        # (ops/pallas_full_decode.py) — the large-batch serving path;
+        # 'steps' (default): XLA KV-cached loop with early exit
+        self.decode_mode = cfg.get('decode_mode', 'steps')
         # bucketed KV-cache reads during decode (see greedy_decode);
         # pointless when the fused step kernels are on (they mask in-kernel)
         self.kv_bucket = (int(cfg.get('kv_bucket', 8))
@@ -121,6 +125,9 @@ class TextRecognizer:
 
     # -------------------------------------------------------- inference
     def _predict_impl(self, variables, img, valid_ratio):
+        if self.autoregressive and self.decode_mode == 'fused40':
+            return self.module.apply(variables, img, valid_ratio,
+                                     method='decode_full_fused')
         if self.autoregressive:
             feat, out_enc = self.module.apply(variables, img, valid_ratio,
                                               method='encode_full')

@@ -46,6 +46,12 @@ class NRTRDecoder(nn.Module):
     # ops/pallas_decode.py). Requires qkv_bias=False (NRTR default) and
     # d_k == d_v.
     use_fused_step: bool = False
+    # 'int8' stores the self-attn KV caches and the precomputed encoder K/V
+    # int8-quantized (per-slot / per-head absmax scales): decode at large
+    # batch is HBM-bound on exactly these tensors (~600MB/step at B=512
+    # bf16), so this halves decode cache traffic. Greedy argmax parity vs
+    # the fp32 reference is asserted in tests/test_reference_parity.py.
+    kv_dtype: str = 'bfloat16'
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -85,6 +91,36 @@ class NRTRDecoder(nn.Module):
         x = self.layer_norm(x)
         return self.classifier(x)
 
+    # ---- int8 KV helpers ------------------------------------------------
+    @staticmethod
+    def _quantize(x, axes):
+        """absmax int8 quantization; returns (int8 values, f32 scales with
+        the reduced axes kept at size 1)."""
+        scale = (jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axes,
+                         keepdims=True) / 127.0 + 1e-8)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                     -127, 127).astype(jnp.int8)
+        return q, scale
+
+    def _attend_q8(self, q, k8, k_scale, v8, v_scale, mask):
+        """Scaled-dot attention over int8 K/V. k_scale/v_scale broadcast to
+        (N, H, 1, K); the K scale folds into the logits, the V scale into
+        the softmax weights, so the big tensors stay int8 end to end."""
+        scale = 1.0 / (self.d_k ** 0.5)
+        attn = jnp.einsum('nhqd,nhkd->nhqk', (q * scale),
+                          k8.astype(q.dtype),
+                          preferred_element_type=jnp.float32)
+        attn = attn * jnp.swapaxes(k_scale, 2, 3)[:, :, :1]
+        if mask is not None:
+            attn = jnp.where(mask == 0, -1e9, attn)
+        attn = jax.nn.softmax(attn, axis=-1)
+        aw = (attn * jnp.swapaxes(v_scale, 2, 3)[:, :, :1]).astype(q.dtype)
+        out = jnp.einsum('nhqk,nhkd->nhqd', aw, v8.astype(q.dtype),
+                         preferred_element_type=jnp.float32).astype(q.dtype)
+        N, _, Tq, _ = out.shape
+        return out.transpose(0, 2, 1, 3).reshape(N, Tq,
+                                                 self.n_head * self.d_v)
+
     # ---- generic AR protocol ------------------------------------------
     def decode_init(self, feat, out_enc, valid_ratio=None):
         """carry = per-layer self-attn KV caches (a tuple per layer, so XLA
@@ -92,13 +128,27 @@ class NRTRDecoder(nn.Module):
         (enc K/V per layer, encoder valid mask)."""
         N = out_enc.shape[0]
         T = self.max_seq_len + 1
+        src_mask = sequence_mask(valid_ratio, out_enc.shape[1])
+        if self.kv_dtype == 'int8':
+            enc_kvs = []
+            for layer in self.layer_stack:
+                k, v = layer.project_enc_kv(out_enc)
+                k8, ks = self._quantize(k, (2, 3))   # per (N, H) scale
+                v8, vs = self._quantize(v, (2, 3))
+                enc_kvs.append((k8, ks, v8, vs))
+            caches = tuple(
+                (jnp.zeros((N, self.n_head, T, self.d_k), jnp.int8),
+                 jnp.zeros((N, self.n_head, T, 1), jnp.float32),
+                 jnp.zeros((N, self.n_head, T, self.d_v), jnp.int8),
+                 jnp.zeros((N, self.n_head, T, 1), jnp.float32))
+                for _ in range(self.n_layers))
+            return caches, (tuple(enc_kvs), src_mask)
         enc_kvs = tuple(layer.project_enc_kv(out_enc)
                         for layer in self.layer_stack)
         caches = tuple(
             (jnp.zeros((N, self.n_head, T, self.d_k), self.dtype),
              jnp.zeros((N, self.n_head, T, self.d_v), self.dtype))
             for _ in range(self.n_layers))
-        src_mask = sequence_mask(valid_ratio, out_enc.shape[1])
         return caches, (enc_kvs, src_mask)
 
     def decode_step(self, token, t, carry, static, kv_limit=None):
@@ -113,6 +163,8 @@ class NRTRDecoder(nn.Module):
         enc_kvs, src_mask = static
         if self.use_fused_step:
             return self._fused_decode_step(token, t, carry, static)
+        if self.kv_dtype == 'int8':
+            return self._decode_step_q8(token, t, carry, static, kv_limit)
         x = self._embed(token[:, None], train=False, offset=t)
         T = self.max_seq_len + 1
         lim = T if kv_limit is None else min(kv_limit, T)
@@ -142,6 +194,117 @@ class NRTRDecoder(nn.Module):
         logits = self.classifier(x[:, 0])
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return probs, tuple(new_caches)
+
+    def _decode_step_q8(self, token, t, carry, static, kv_limit=None):
+        """decode_step over int8 KV caches + int8 encoder K/V."""
+        enc_kvs, src_mask = static
+        x = self._embed(token[:, None], train=False, offset=t)
+        T = self.max_seq_len + 1
+        lim = T if kv_limit is None else min(kv_limit, T)
+        pos_mask = (jnp.arange(lim)[None, None, None, :] <= t).astype(
+            jnp.float32)
+        if src_mask is not None:
+            cross_mask = src_mask[:, None, None]
+        else:
+            cross_mask = None
+        new_caches = []
+        for layer, cache, enc in zip(self.layer_stack, carry, enc_kvs):
+            ck, cks, cv, cvs = cache
+            ek8, eks, ev8, evs = enc
+            y = layer.norm1(x)
+            q, k_t, v_t = layer.self_attn.qkv_fused(y)
+            k8, ks = self._quantize(k_t, (3,))
+            v8, vs = self._quantize(v_t, (3,))
+            ck = jax.lax.dynamic_update_slice_in_dim(ck, k8, t, axis=2)
+            cks = jax.lax.dynamic_update_slice_in_dim(cks, ks, t, axis=2)
+            cv = jax.lax.dynamic_update_slice_in_dim(cv, v8, t, axis=2)
+            cvs = jax.lax.dynamic_update_slice_in_dim(cvs, vs, t, axis=2)
+            new_caches.append((ck, cks, cv, cvs))
+            sa = self._attend_q8(q, ck[:, :, :lim], cks[:, :, :lim],
+                                 cv[:, :, :lim], cvs[:, :, :lim], pos_mask)
+            x = x + layer.self_attn.finish(sa)
+            y2 = layer.norm2(x)
+            q2 = layer.enc_attn._split(layer.enc_attn.linear_q(y2),
+                                       layer.enc_attn.d_k)
+            ca = self._attend_q8(q2, ek8, eks, ev8, evs, cross_mask)
+            x = x + layer.enc_attn.finish(ca)
+            x = x + layer.mlp(layer.norm3(x), deterministic=True)
+        x = self.layer_norm(x)
+        logits = self.classifier(x[:, 0])
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return probs, tuple(new_caches)
+
+    def fused_full_decode(self, feat, out_enc, valid_ratio=None):
+        """All max_seq_len greedy steps in ONE pallas kernel
+        (ops/pallas_full_decode.py): weights, encoder K/V and the KV caches
+        stay VMEM-resident for the whole loop. Returns (N, S, C-1) per-step
+        softmax probabilities — same contract as greedy_decode."""
+        from ...ops.pallas_full_decode import full_greedy_decode
+
+        enc_k, enc_v = [], []
+        for layer in self.layer_stack:
+            k, v = layer.project_enc_kv(out_enc)
+            enc_k.append(k)
+            enc_v.append(v)
+        enc_k = jnp.stack(enc_k)
+        enc_v = jnp.stack(enc_v)
+        N, TE = out_enc.shape[0], out_enc.shape[1]
+        src_mask = sequence_mask(valid_ratio, TE)
+        if src_mask is None:
+            src_mask = jnp.ones((N, TE), jnp.float32)
+
+        def kp(m):
+            return m.variables['params']['kernel']
+
+        def bp(m):
+            return m.variables['params']['bias']
+
+        def lnp(m):
+            p = m.variables['params']
+            return p['scale'][None, :], p['bias'][None, :]
+
+        stacks = {k: [] for k in ('ln1_s', 'ln1_b', 'ln2_s', 'ln2_b',
+                                  'ln3_s', 'ln3_b', 'wqkv', 'wfc1', 'wq2',
+                                  'wfc2', 'w1', 'b1', 'w2', 'b2')}
+        for layer in self.layer_stack:
+            for i, nm in enumerate(('ln1', 'ln2', 'ln3')):
+                s, b = lnp((layer.norm1, layer.norm2, layer.norm3)[i])
+                stacks[f'{nm}_s'].append(s)
+                stacks[f'{nm}_b'].append(b)
+            sa = layer.self_attn
+            stacks['wqkv'].append(jnp.concatenate(
+                [kp(sa.linear_q), kp(sa.linear_k), kp(sa.linear_v)], axis=1))
+            stacks['wfc1'].append(kp(sa.fc))
+            stacks['wq2'].append(kp(layer.enc_attn.linear_q))
+            stacks['wfc2'].append(kp(layer.enc_attn.fc))
+            mlp = layer.mlp.variables['params']  # w_1/w_2 are compact
+            stacks['w1'].append(mlp['w_1']['kernel'])
+            stacks['b1'].append(mlp['w_1']['bias'][None, :])
+            stacks['w2'].append(mlp['w_2']['kernel'])
+            stacks['b2'].append(mlp['w_2']['bias'][None, :])
+        weights = {k: jnp.stack(v) for k, v in stacks.items()}
+        lnf_s, lnf_b = lnp(self.layer_norm)
+        weights['lnf_s'] = lnf_s
+        weights['lnf_b'] = lnf_b
+
+        from ..transformer import sinusoid_position_table
+        emb = self.trg_word_emb.variables['params']['embedding']
+        C = emb.shape[0]
+        CP = ((max(C, 128) + 127) // 128) * 128
+        D = emb.shape[1]
+        weights['embed'] = jnp.zeros((CP, D), emb.dtype).at[:C].set(emb)
+        wcls = kp(self.classifier)
+        bcls = bp(self.classifier)
+        weights['wcls'] = jnp.zeros((D, CP), wcls.dtype).at[
+            :, :wcls.shape[1]].set(wcls)
+        weights['bcls'] = jnp.full((1, CP), -1e9, jnp.float32).at[
+            0, :bcls.shape[0]].set(bcls.astype(jnp.float32))
+        weights['pe'] = jnp.asarray(
+            sinusoid_position_table(self.n_position, D)[
+                0, :self.max_seq_len])
+        return full_greedy_decode(
+            enc_k, enc_v, src_mask, weights, S=self.max_seq_len,
+            start_idx=self.start_idx, num_classes=self.num_classes - 1)
 
     def _fused_decode_step(self, token, t, carry, static):
         """decode_step through the fused Pallas kernels

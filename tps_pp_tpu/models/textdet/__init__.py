@@ -6,6 +6,8 @@ from .fce_textsnake import (FCEHead, FCELoss, FCENetModule, FPNDet, FPN_UNet,
 from .drrg import (DRRGDetector, DRRGHead, DRRGLoss, DRRGPostprocessor,
                    GCN, LocalGraphs, ProposalLocalGraphs,
                    roi_align_rotated_np)
+from .maskrcnn import (BoxHead, MaskHead, MaskRCNNDetector, MaskRCNNModule,
+                       RPNHead, generate_anchors, nms_xyxy)
 from .targets import (DBNetTargets, DRRGTargets, FCENetTargets, PANetTargets,
                       PSENetTargets, TextSnakeTargets)
 from .postprocess import (DBPostprocessor, FCEPostprocessor,
@@ -21,6 +23,8 @@ __all__ = [
     'TextSnakeHead', 'TextSnakeLoss', 'TextSnakeModule',
     'DRRGDetector', 'DRRGHead', 'DRRGLoss', 'DRRGPostprocessor', 'GCN',
     'LocalGraphs', 'ProposalLocalGraphs', 'roi_align_rotated_np',
+    'BoxHead', 'MaskHead', 'MaskRCNNDetector', 'MaskRCNNModule', 'RPNHead',
+    'generate_anchors', 'nms_xyxy',
     'DBNetTargets', 'DRRGTargets', 'FCENetTargets', 'PANetTargets',
     'PSENetTargets', 'TextSnakeTargets',
     'DBPostprocessor', 'FCEPostprocessor', 'PANPostprocessor',

@@ -1,0 +1,285 @@
+"""Whole-decode Pallas kernel: all 40 greedy steps in ONE kernel launch.
+
+Round-1 measurements showed the NRTR decode loop is op-cost bound: each XLA
+op in the step body carries ~15-50us of fixed cost (weight re-fetch from
+HBM, pipeline fill), so 40 steps x ~150 ops dominate inference at ~68ms for
+batch 512 — while the actual FLOPs are ~1 TFLOP. The per-step fused kernels
+(ops/pallas_decode.py) could not win because they round-trip the KV cache
+blocks HBM->VMEM->HBM every step.
+
+This kernel removes both costs: for each batch block it keeps EVERYTHING
+resident in VMEM for the entire 40-step loop —
+  * all 6 layers' weights (~31MB bf16),
+  * the precomputed encoder K/V for the block (~25MB at bt=32),
+  * the self-attention KV caches (scratch, ~16MB),
+and runs embed -> 6x(self-attn + cross-attn + FFN) -> LN -> classifier ->
+softmax -> argmax -> next-token feedback inside a fori_loop. HBM is touched
+once per block (weights + enc KV in, probs out).
+
+Numerics match the XLA decode path (f32 accumulation, bf16 matmuls,
+polynomial erf GELU); greedy argmax parity is asserted in
+tests/test_pallas_full_decode.py against the unfused path and transitively
+(tests/test_reference_parity.py) against the torch reference.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_decode import _erf, _layernorm, _fit_tile
+
+NEG_INF = -1e9
+
+
+def _attend_block(q, k, v, key_mask, H, DK, scale):
+    """Multi-head attention via VPU multiply-reduce (tiny key counts);
+    q (bt, H*DK) f32, k/v (bt, H, T, DK) f32, key_mask (bt, T) bool."""
+    bt, T = key_mask.shape
+    out_cols = []
+    for h in range(H):
+        q_h = q[:, h * DK:(h + 1) * DK] * scale
+        q3 = jax.lax.broadcast_in_dim(q_h, (bt, T, DK), (0, 2))
+        scores = jnp.sum(q3 * k[:, h], axis=-1)
+        scores = jnp.where(key_mask, scores, NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        w = e / jnp.sum(e, axis=-1, keepdims=True)
+        w3 = jax.lax.broadcast_in_dim(w, (bt, T, DK), (0, 1))
+        out_cols.append(jnp.sum(w3 * v[:, h], axis=1))
+    return jnp.concatenate(out_cols, axis=-1)      # (bt, H*DK)
+
+
+def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
+                        ln1s_ref, ln1b_ref, wqkv_ref, wfc1_ref,
+                        ln2s_ref, ln2b_ref, wq2_ref, wfc2_ref,
+                        ln3s_ref, ln3b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                        lnfs_ref, lnfb_ref, wcls_ref, bcls_ref,
+                        enc_k_ref, enc_v_ref,
+                        probs_ref, ck_ref, cv_ref, *,
+                        L, H, T, TE, DK, S, CP, start_idx, num_classes):
+    bt = mask_ref.shape[0]
+    D = embed_ref.shape[1]
+    scale = 1.0 / (DK ** 0.5)
+    cross_valid = mask_ref[:] > 0                           # (bt, TE)
+    # zero the caches (scratch is uninitialized)
+    ck_ref[...] = jnp.zeros_like(ck_ref)
+    cv_ref[...] = jnp.zeros_like(cv_ref)
+
+    cls_iota = jax.lax.broadcasted_iota(jnp.int32, (bt, CP), 1)
+    onehot0 = (cls_iota == start_idx).astype(jnp.float32)
+
+    def step(t, onehot):
+        x = jnp.dot(onehot.astype(jnp.bfloat16), embed_ref[:],
+                    preferred_element_type=jnp.float32)      # (bt, D)
+        # Mosaic lowers no dynamic_slice: fetch the PE row via a one-hot
+        # contraction over the S axis instead
+        s_onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) == t
+                    ).astype(jnp.float32)
+        pe_t = jnp.dot(s_onehot, pe_ref[:].astype(jnp.float32))   # (1, D)
+        x = x + pe_t
+        pos = jax.lax.broadcasted_iota(jnp.int32, (bt, T), 1)
+        key_mask = pos <= t
+        for l in range(L):
+            # ---- self attention ----
+            y = _layernorm(x, ln1s_ref[l], ln1b_ref[l])
+            qkv = jnp.dot(y.astype(jnp.bfloat16), wqkv_ref[l],
+                          preferred_element_type=jnp.float32)
+            HD = H * DK
+            slot = (jax.lax.broadcasted_iota(jnp.int32, (bt, T, DK), 1) == t)
+            for h in range(H):
+                k_h = qkv[:, HD + h * DK:HD + (h + 1) * DK]
+                v_h = qkv[:, 2 * HD + h * DK:2 * HD + (h + 1) * DK]
+                k3 = jax.lax.broadcast_in_dim(k_h, (bt, T, DK), (0, 2))
+                v3 = jax.lax.broadcast_in_dim(v_h, (bt, T, DK), (0, 2))
+                ck_ref[l, :, h] = jnp.where(
+                    slot, k3, ck_ref[l, :, h].astype(jnp.float32)).astype(
+                    ck_ref.dtype)
+                cv_ref[l, :, h] = jnp.where(
+                    slot, v3, cv_ref[l, :, h].astype(jnp.float32)).astype(
+                    cv_ref.dtype)
+            sa = _attend_block(qkv[:, :HD],
+                               ck_ref[l].astype(jnp.float32),
+                               cv_ref[l].astype(jnp.float32),
+                               key_mask, H, DK, scale)
+            x = x + jnp.dot(sa.astype(jnp.bfloat16), wfc1_ref[l],
+                            preferred_element_type=jnp.float32)
+            # ---- cross attention ----
+            y2 = _layernorm(x, ln2s_ref[l], ln2b_ref[l])
+            q2 = jnp.dot(y2.astype(jnp.bfloat16), wq2_ref[l],
+                         preferred_element_type=jnp.float32)
+            ca = _attend_block(q2, enc_k_ref[l].astype(jnp.float32),
+                               enc_v_ref[l].astype(jnp.float32),
+                               cross_valid, H, DK, scale)
+            x = x + jnp.dot(ca.astype(jnp.bfloat16), wfc2_ref[l],
+                            preferred_element_type=jnp.float32)
+            # ---- FFN ----
+            y3 = _layernorm(x, ln3s_ref[l], ln3b_ref[l])
+            h1 = jnp.dot(y3.astype(jnp.bfloat16), w1_ref[l],
+                         preferred_element_type=jnp.float32) + b1_ref[l]
+            h1 = 0.5 * h1 * (1.0 + _erf(h1 * 0.7071067811865476))
+            h2 = jnp.dot(h1.astype(jnp.bfloat16), w2_ref[l],
+                         preferred_element_type=jnp.float32) + b2_ref[l]
+            x = x + h2
+        xl = _layernorm(x, lnfs_ref[:], lnfb_ref[:])
+        logits = jnp.dot(xl.astype(jnp.bfloat16), wcls_ref[:],
+                         preferred_element_type=jnp.float32) + bcls_ref[:]
+        logits = jnp.where(cls_iota < num_classes, logits, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)       # (bt, CP)
+        # write this step's probs (one-hot masked write over the S axis)
+        s_slot = (jax.lax.broadcasted_iota(jnp.int32, (bt, S, CP), 1) == t)
+        p3 = jax.lax.broadcast_in_dim(probs, (bt, S, CP), (0, 2))
+        probs_ref[...] = jnp.where(
+            s_slot, p3, probs_ref[...].astype(jnp.float32)).astype(
+            probs_ref.dtype)
+        nxt = jnp.argmax(probs, axis=-1)
+        return (cls_iota == nxt[:, None]).astype(jnp.float32)
+
+    jax.lax.fori_loop(0, S, step, onehot0)
+
+
+@functools.partial(jax.jit, static_argnames=('S', 'start_idx', 'num_classes',
+                                             'bt', 'interpret'))
+def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
+                       start_idx: int, num_classes: int, bt: int = 32,
+                       interpret: bool = False):
+    """Run the whole greedy decode in one pallas kernel.
+
+    enc_k/enc_v: (L, N, H, TE, DK) precomputed encoder K/V (bf16).
+    src_mask: (N, TE) 1=valid.
+    weights: dict with stacked per-layer arrays:
+      ln1_s/ln1_b/ln2_s/ln2_b/ln3_s/ln3_b (L, 1, D) f32;
+      wqkv (L, D, 3*H*DK), wfc1 (L, H*DK, D), wq2 (L, D, H*DK),
+      wfc2 (L, H*DK, D), w1 (L, D, DI), w2 (L, DI, D) bf16;
+      b1 (L, 1, DI), b2 (L, 1, D) f32;
+      lnf_s/lnf_b (1, D) f32; wcls (D, CP) bf16, bcls (1, CP) f32
+      (CP = classes padded to a lane multiple); embed (CP, D) bf16;
+      pe (S, D) f32.
+    Returns (N, S, num_classes) f32 per-step softmax probabilities.
+    """
+    L, N, H, TE, DK = enc_k.shape
+    D = weights['embed'].shape[1]
+    CP = weights['wcls'].shape[1]
+    DI = weights['w1'].shape[2]
+    T = S + 1
+    bt = _fit_tile(N, bt)
+    kernel = functools.partial(
+        _full_decode_kernel, L=L, H=H, T=T, TE=TE, DK=DK, S=S, CP=CP,
+        start_idx=start_idx, num_classes=num_classes)
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    grid = (N // bt,)
+    probs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, TE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),               # mask
+            fixed((CP, D)),                                      # embed
+            fixed((S, D)),                                       # pe
+            fixed((L, 1, D)), fixed((L, 1, D)),                  # ln1
+            fixed((L, D, 3 * H * DK)), fixed((L, H * DK, D)),    # qkv/fc1
+            fixed((L, 1, D)), fixed((L, 1, D)),                  # ln2
+            fixed((L, D, H * DK)), fixed((L, H * DK, D)),        # q2/fc2
+            fixed((L, 1, D)), fixed((L, 1, D)),                  # ln3
+            fixed((L, D, DI)), fixed((L, 1, DI)),                # w1/b1
+            fixed((L, DI, D)), fixed((L, 1, D)),                 # w2/b2
+            fixed((1, D)), fixed((1, D)),                        # lnf
+            fixed((D, CP)), fixed((1, CP)),                      # cls
+            pl.BlockSpec((L, bt, H, TE, DK), lambda i: (0, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),               # enc_k
+            pl.BlockSpec((L, bt, H, TE, DK), lambda i: (0, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),               # enc_v
+        ],
+        out_specs=pl.BlockSpec((bt, S, CP), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, S, CP), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((L, bt, H, T, DK), jnp.bfloat16),         # ck
+            pltpu.VMEM((L, bt, H, T, DK), jnp.bfloat16),         # cv
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=interpret,
+    )(src_mask.astype(jnp.float32), weights['embed'].astype(jnp.bfloat16),
+      weights['pe'].astype(jnp.float32),
+      weights['ln1_s'].astype(jnp.float32),
+      weights['ln1_b'].astype(jnp.float32),
+      weights['wqkv'].astype(jnp.bfloat16),
+      weights['wfc1'].astype(jnp.bfloat16),
+      weights['ln2_s'].astype(jnp.float32),
+      weights['ln2_b'].astype(jnp.float32),
+      weights['wq2'].astype(jnp.bfloat16),
+      weights['wfc2'].astype(jnp.bfloat16),
+      weights['ln3_s'].astype(jnp.float32),
+      weights['ln3_b'].astype(jnp.float32),
+      weights['w1'].astype(jnp.bfloat16), weights['b1'].astype(jnp.float32),
+      weights['w2'].astype(jnp.bfloat16), weights['b2'].astype(jnp.float32),
+      weights['lnf_s'].astype(jnp.float32),
+      weights['lnf_b'].astype(jnp.float32),
+      weights['wcls'].astype(jnp.bfloat16),
+      weights['bcls'].astype(jnp.float32),
+      enc_k.astype(jnp.bfloat16), enc_v.astype(jnp.bfloat16))
+    return probs[:, :, :num_classes]
+
+
+def pack_decoder_weights(params, *, n_layers: int, d_model: int,
+                         n_position_slice: int, pad_to: int = 128):
+    """Stack an NRTRDecoder's flax params into the kernel layout.
+
+    params: variables['params'] subtree of the decoder (layer_stack_{i},
+    trg_word_emb, layer_norm, classifier). Returns the weights dict for
+    :func:`full_greedy_decode`.
+    """
+    from ..models.transformer import sinusoid_position_table
+
+    L = n_layers
+
+    def stack(path_fn):
+        return jnp.stack([jnp.asarray(path_fn(params[f'layer_stack_{i}']))
+                          for i in range(L)])
+
+    w = {
+        'ln1_s': stack(lambda p: p['norm1']['scale'])[:, None, :],
+        'ln1_b': stack(lambda p: p['norm1']['bias'])[:, None, :],
+        'ln2_s': stack(lambda p: p['norm2']['scale'])[:, None, :],
+        'ln2_b': stack(lambda p: p['norm2']['bias'])[:, None, :],
+        'ln3_s': stack(lambda p: p['norm3']['scale'])[:, None, :],
+        'ln3_b': stack(lambda p: p['norm3']['bias'])[:, None, :],
+        'wqkv': stack(lambda p: jnp.concatenate([
+            p['self_attn']['linear_q']['kernel'],
+            p['self_attn']['linear_k']['kernel'],
+            p['self_attn']['linear_v']['kernel']], axis=1)),
+        'wfc1': stack(lambda p: p['self_attn']['fc']['kernel']),
+        'wq2': stack(lambda p: p['enc_attn']['linear_q']['kernel']),
+        'wfc2': stack(lambda p: p['enc_attn']['fc']['kernel']),
+        'w1': stack(lambda p: p['mlp']['w_1']['kernel']),
+        'b1': stack(lambda p: p['mlp']['w_1']['bias'])[:, None, :],
+        'w2': stack(lambda p: p['mlp']['w_2']['kernel']),
+        'b2': stack(lambda p: p['mlp']['w_2']['bias'])[:, None, :],
+        'lnf_s': jnp.asarray(params['layer_norm']['scale'])[None, :],
+        'lnf_b': jnp.asarray(params['layer_norm']['bias'])[None, :],
+    }
+    emb = jnp.asarray(params['trg_word_emb']['embedding'])   # (C, D)
+    C = emb.shape[0]
+    CP = ((max(C, pad_to) + pad_to - 1) // pad_to) * pad_to
+    w['embed'] = jnp.zeros((CP, d_model), emb.dtype).at[:C].set(emb)
+    wcls = jnp.asarray(params['classifier']['kernel'])       # (D, C-1)
+    bcls = jnp.asarray(params['classifier']['bias'])
+    w['wcls'] = jnp.zeros((d_model, CP), wcls.dtype).at[
+        :, :wcls.shape[1]].set(wcls)
+    w['bcls'] = jnp.full((1, CP), NEG_INF,
+                         jnp.float32).at[0, :bcls.shape[0]].set(
+        bcls.astype(jnp.float32))
+    w['pe'] = jnp.asarray(
+        sinusoid_position_table(200, d_model)[0, :n_position_slice])
+    return w
