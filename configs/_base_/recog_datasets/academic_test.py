@@ -1,6 +1,7 @@
-# the 6 academic STR benchmarks (reference configs/_base_/recog_datasets/
-# academic_test_high.py: IIIT5K 3000 / SVT 647 / IC13 857 / IC15 1811 /
-# SVTP 645 / CT80 288). Point data_root at your local copies.
+# the 6 academic STR benchmarks, "low" splits (reference configs/_base_/
+# recog_datasets/academic_test.py: IC13 1015 / full IC15 — use
+# academic_test_high.py for the IC13_857/IC15_1811 paper protocol).
+# Point data_root at your local copies.
 data_root = 'data/mixture'
 
 def _ds(name):

@@ -5,7 +5,8 @@ _base_ = [
     '../../_base_/default_runtime.py',
     '../../_base_/schedules/schedule_adam_step_12e.py',
     '../../_base_/recog_pipelines/crnn_pp_pipeline.py',
-    '../../_base_/recog_datasets/toy_data.py',
+    '../../_base_/recog_datasets/ST_MJ_alphanumeric_train.py',
+    '../../_base_/recog_datasets/academic_test_high.py',
 ]
 
 label_convertor = dict(type='AttnConvertor', dict_type='DICT90',
@@ -31,13 +32,13 @@ data = dict(
     samples_per_gpu=280,
     workers_per_gpu=10,
     train=dict(type='UniformConcatDataset',
-               datasets=['{{_base_.train}}'],
+               datasets='{{_base_.train_list}}',
                pipeline='{{_base_.train_pipeline}}'),
     val=dict(type='UniformConcatDataset',
-             datasets=['{{_base_.test}}'],
+             datasets='{{_base_.test_list}}',
              pipeline='{{_base_.test_pipeline}}'),
     test=dict(type='UniformConcatDataset',
-              datasets=['{{_base_.test}}'],
+              datasets='{{_base_.test_list}}',
               pipeline='{{_base_.test_pipeline}}'))
 
 test_pipeline = '{{_base_.test_pipeline}}'

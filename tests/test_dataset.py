@@ -128,9 +128,11 @@ def test_config_system():
 
 def test_all_model_configs_load():
     import glob
-    base = os.path.join(os.path.dirname(__file__), '..', 'configs/textrecog')
-    files = glob.glob(os.path.join(base, '*', '*.py'))
-    assert len(files) >= 7
+    base = os.path.join(os.path.dirname(__file__), '..', 'configs')
+    files = []
+    for task in ('textrecog', 'textdet', 'kie', 'ner'):
+        files += glob.glob(os.path.join(base, task, '*', '*.py'))
+    assert len(files) >= 20
     for f in files:
         cfg = load_config(f)
         assert 'model' in cfg and 'type' in cfg.model, f
