@@ -72,3 +72,18 @@ def test_mmocr_det_recog_readtext(tmp_path):
     crop = img[60:100, 40:160]
     single = rec.readtext(crop)
     assert isinstance(single[0]['text'], str)
+
+
+def test_mmocr_det_recog_kie_readtext():
+    """Three-stage pipeline (reference MMOCR(det, recog, kie='SDMGR'),
+    ocr.py:349-352): every detected box gets a KIE node label."""
+    import cv2
+    from tps_pp_tpu.apis.ocr import MMOCR
+    img = np.full((160, 320, 3), 255, np.uint8)
+    cv2.rectangle(img, (40, 60), (160, 100), (0, 0, 0), -1)
+    ocr = MMOCR(det='DBNet', recog='CRNN', kie='SDMGR',
+                det_img_size=(160, 160))
+    out = ocr.readtext(img, details=True)
+    for r in out[0]['result']:
+        assert 'label' in r and 0 <= r['label'] < 26
+        assert 0.0 <= r['label_score'] <= 1.0

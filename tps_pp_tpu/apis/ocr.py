@@ -60,13 +60,16 @@ class MMOCR:
 
     def __init__(self, det: Optional[str] = 'DBNet',
                  recog: Optional[str] = 'CRNN',
+                 kie: Optional[str] = None,
                  det_config: Optional[str] = None,
                  det_ckpt: Optional[str] = None,
                  recog_config: Optional[str] = None,
                  recog_ckpt: Optional[str] = None,
+                 kie_ckpt: Optional[str] = None,
                  det_img_size=(640, 640), seed: int = 0, **kwargs):
         self.detector = None
         self.rec = None
+        self.kie = None
         if det:
             from .detector import init_detector
             cfg = det_config or _resolve(DET_CONFIGS, det)
@@ -77,6 +80,61 @@ class MMOCR:
             cfg = recog_config or _resolve(RECOG_CONFIGS, recog)
             self.rec, self.rec_variables = init_recognizer(
                 cfg, recog_ckpt, rng_seed=seed)
+        if kie:
+            assert self.detector is not None and self.rec is not None, (
+                'KIE requires both det and recog (reference ocr.py:349-352)')
+            self._init_kie(kie, kie_ckpt, seed)
+
+    def _init_kie(self, kie, kie_ckpt, seed):
+        """SDMGR node classification over detected+recognized boxes
+        (reference MMOCR kie stage, ocr.py:499-585)."""
+        import jax
+        import jax.numpy as jnp
+        from ..models.kie import SDMGRHead
+
+        self.kie_max_chars = 32
+        self.kie_chars = ('0123456789abcdefghijklmnopqrstuvwxyz'
+                          'ABCDEFGHIJKLMNOPQRSTUVWXYZ')
+        self.kie_char2idx = {c: i + 1 for i, c in enumerate(self.kie_chars)}
+        self.kie_head = SDMGRHead(num_chars=len(self.kie_chars) + 2,
+                                  num_classes=26)
+        n = 4
+        self.kie_variables = self.kie_head.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((n, n, 5), jnp.float32),
+            jnp.zeros((n, self.kie_max_chars), jnp.int32))
+        if kie_ckpt:
+            from ..utils.checkpoint import load_variables
+            self.kie_variables = load_variables(kie_ckpt, self.kie_variables)
+
+    def _kie_infer(self, box_results):
+        import jax
+        import jax.numpy as jnp
+        from ..datasets.kie_dataset import KIEDataset
+
+        n = len(box_results)
+        if n == 0:
+            return box_results
+        boxes = np.asarray([[min(r['box'][0::2]), min(r['box'][1::2]),
+                             max(r['box'][0::2]), max(r['box'][1::2])]
+                            for r in box_results], np.float32)
+        texts = np.zeros((n, self.kie_max_chars), np.int32)
+        for i, r in enumerate(box_results):
+            for j, ch in enumerate(str(r['text'])[:self.kie_max_chars]):
+                texts[i, j] = self.kie_char2idx.get(
+                    ch, len(self.kie_char2idx) + 1)
+        ds = KIEDataset.__new__(KIEDataset)
+        ds.norm = 10.0
+        rel = ds.compute_relations(boxes)
+        node_cls, _ = self.kie_head.apply(self.kie_variables,
+                                          jnp.asarray(rel),
+                                          jnp.asarray(texts))
+        labels = np.asarray(jnp.argmax(node_cls, -1))
+        confs = np.asarray(jnp.max(jax.nn.softmax(node_cls, -1), -1))
+        for r, lab, conf in zip(box_results, labels, confs):
+            r['label'] = int(lab)
+            r['label_score'] = float(conf)
+        return box_results
 
     # -- single-stage paths ------------------------------------------------
     def detect(self, img) -> List[np.ndarray]:
@@ -132,6 +190,9 @@ class MMOCR:
                     'text': rec.get('text', ''),
                     'text_score': float(score),
                 })
+            if self.kie is not None or getattr(self, 'kie_head', None) \
+                    is not None:
+                box_results = self._kie_infer(box_results)
             res = {'filename': filename, 'result': box_results}
             if img_out_dir:
                 from ..utils.visualize import det_recog_show_result

@@ -10,3 +10,4 @@ __all__ = ['NRTRDecoder', 'CRNNDecoder', 'ParallelSARDecoder',
            'SequenceAttentionDecoder', 'PositionAttentionDecoder',
            'RobustScannerDecoder', 'ABIVisionDecoder', 'ABILanguageDecoder',
            'greedy_decode']
+from .tf_common import TFCommonDecoder, TFCommonDecoderLayer  # noqa: F401,E501

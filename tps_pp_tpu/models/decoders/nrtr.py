@@ -346,8 +346,3 @@ class NRTRDecoder(nn.Module):
 # SATRN's decoder config name (reference configs/_base_/recog_models/
 # satrn.py uses type='TFDecoder' for the same transformer decoder)
 DECODERS.register_module(name='TFDecoder', module=NRTRDecoder)
-# the fork's generic transformer decoder (reference decoders/
-# transformer_frame.py TFCommonDecoder) — same autoregressive transformer
-# decode; its Mask_MultiHeadAttention twist depends on modules the reference
-# deleted (SURVEY §2.11), so the standard attention path is used
-DECODERS.register_module(name='TFCommonDecoder', module=NRTRDecoder)

@@ -36,21 +36,23 @@ from .pallas_decode import _erf, _layernorm, _fit_tile
 NEG_INF = -1e9
 
 
-def _attend_block(q, k, v, key_mask, H, DK, scale):
+def _attend_block(q, kv, key_mask, H, DK, scale):
     """Multi-head attention via VPU multiply-reduce (tiny key counts);
-    q (bt, H*DK) f32, k/v (bt, H, T, DK) f32, key_mask (bt, T) bool."""
+    q (bt, H*DK) f32, kv (bt, H, T, 2*DK) f32 (K in [..., :DK], V in
+    [..., DK:] — packed so the 64-wide halves share one 128-lane tensor
+    instead of each padding to 128), key_mask (bt, T) bool."""
     bt, T = key_mask.shape
     out_cols = []
     for h in range(H):
         q_h = q[:, h * DK:(h + 1) * DK] * scale
         q3 = jax.lax.broadcast_in_dim(q_h, (bt, T, DK), (0, 2))
-        scores = jnp.sum(q3 * k[:, h], axis=-1)
+        scores = jnp.sum(q3 * kv[:, h, :, :DK], axis=-1)
         scores = jnp.where(key_mask, scores, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         w = e / jnp.sum(e, axis=-1, keepdims=True)
         w3 = jax.lax.broadcast_in_dim(w, (bt, T, DK), (0, 1))
-        out_cols.append(jnp.sum(w3 * v[:, h], axis=1))
+        out_cols.append(jnp.sum(w3 * kv[:, h, :, DK:], axis=1))
     return jnp.concatenate(out_cols, axis=-1)      # (bt, H*DK)
 
 
@@ -59,16 +61,16 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
                         ln2s_ref, ln2b_ref, wq2_ref, wfc2_ref,
                         ln3s_ref, ln3b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                         lnfs_ref, lnfb_ref, wcls_ref, bcls_ref,
-                        enc_k_ref, enc_v_ref,
-                        probs_ref, ck_ref, cv_ref, *,
-                        L, H, T, TE, DK, S, CP, start_idx, num_classes):
+                        enc_kv_ref,
+                        probs_ref, ckv_ref, *,
+                        L, H, T, TE, DK, S, CP, start_idx, num_classes,
+                        ablate=''):
     bt = mask_ref.shape[0]
     D = embed_ref.shape[1]
     scale = 1.0 / (DK ** 0.5)
     cross_valid = mask_ref[:] > 0                           # (bt, TE)
     # zero the caches (scratch is uninitialized)
-    ck_ref[...] = jnp.zeros_like(ck_ref)
-    cv_ref[...] = jnp.zeros_like(cv_ref)
+    ckv_ref[...] = jnp.zeros_like(ckv_ref)
 
     cls_iota = jax.lax.broadcasted_iota(jnp.int32, (bt, CP), 1)
     onehot0 = (cls_iota == start_idx).astype(jnp.float32)
@@ -90,31 +92,34 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
             qkv = jnp.dot(y.astype(jnp.bfloat16), wqkv_ref[l],
                           preferred_element_type=jnp.float32)
             HD = H * DK
-            slot = (jax.lax.broadcasted_iota(jnp.int32, (bt, T, DK), 1) == t)
+            slot = (jax.lax.broadcasted_iota(jnp.int32, (bt, T, 2 * DK), 1)
+                    == t)
             for h in range(H):
                 k_h = qkv[:, HD + h * DK:HD + (h + 1) * DK]
                 v_h = qkv[:, 2 * HD + h * DK:2 * HD + (h + 1) * DK]
-                k3 = jax.lax.broadcast_in_dim(k_h, (bt, T, DK), (0, 2))
-                v3 = jax.lax.broadcast_in_dim(v_h, (bt, T, DK), (0, 2))
-                ck_ref[l, :, h] = jnp.where(
-                    slot, k3, ck_ref[l, :, h].astype(jnp.float32)).astype(
-                    ck_ref.dtype)
-                cv_ref[l, :, h] = jnp.where(
-                    slot, v3, cv_ref[l, :, h].astype(jnp.float32)).astype(
-                    cv_ref.dtype)
-            sa = _attend_block(qkv[:, :HD],
-                               ck_ref[l].astype(jnp.float32),
-                               cv_ref[l].astype(jnp.float32),
-                               key_mask, H, DK, scale)
+                kv_h = jnp.concatenate([k_h, v_h], axis=-1)   # (bt, 2DK)
+                kv3 = jax.lax.broadcast_in_dim(kv_h, (bt, T, 2 * DK),
+                                               (0, 2))
+                ckv_ref[l, :, h] = jnp.where(
+                    slot, kv3, ckv_ref[l, :, h].astype(jnp.float32)).astype(
+                    ckv_ref.dtype)
+            if 'self' in ablate:
+                sa = qkv[:, :HD]
+            else:
+                sa = _attend_block(qkv[:, :HD],
+                                   ckv_ref[l].astype(jnp.float32),
+                                   key_mask, H, DK, scale)
             x = x + jnp.dot(sa.astype(jnp.bfloat16), wfc1_ref[l],
                             preferred_element_type=jnp.float32)
             # ---- cross attention ----
             y2 = _layernorm(x, ln2s_ref[l], ln2b_ref[l])
             q2 = jnp.dot(y2.astype(jnp.bfloat16), wq2_ref[l],
                          preferred_element_type=jnp.float32)
-            ca = _attend_block(q2, enc_k_ref[l].astype(jnp.float32),
-                               enc_v_ref[l].astype(jnp.float32),
-                               cross_valid, H, DK, scale)
+            if 'cross' in ablate:
+                ca = q2
+            else:
+                ca = _attend_block(q2, enc_kv_ref[l].astype(jnp.float32),
+                                   cross_valid, H, DK, scale)
             x = x + jnp.dot(ca.astype(jnp.bfloat16), wfc2_ref[l],
                             preferred_element_type=jnp.float32)
             # ---- FFN ----
@@ -145,10 +150,10 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
 
 
 @functools.partial(jax.jit, static_argnames=('S', 'start_idx', 'num_classes',
-                                             'bt', 'interpret'))
+                                             'bt', 'interpret', 'ablate'))
 def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
                        start_idx: int, num_classes: int, bt: int = 32,
-                       interpret: bool = False):
+                       interpret: bool = False, ablate: str = ''):
     """Run the whole greedy decode in one pallas kernel.
 
     enc_k/enc_v: (L, N, H, TE, DK) precomputed encoder K/V (bf16).
@@ -163,6 +168,7 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
       pe (S, D) f32.
     Returns (N, S, num_classes) f32 per-step softmax probabilities.
     """
+    enc_kv = jnp.concatenate([enc_k, enc_v], axis=-1)   # (L,N,H,TE,2DK)
     L, N, H, TE, DK = enc_k.shape
     D = weights['embed'].shape[1]
     CP = weights['wcls'].shape[1]
@@ -171,7 +177,7 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
     bt = _fit_tile(N, bt)
     kernel = functools.partial(
         _full_decode_kernel, L=L, H=H, T=T, TE=TE, DK=DK, S=S, CP=CP,
-        start_idx=start_idx, num_classes=num_classes)
+        start_idx=start_idx, num_classes=num_classes, ablate=ablate)
 
     def fixed(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -195,17 +201,15 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
             fixed((L, DI, D)), fixed((L, 1, D)),                 # w2/b2
             fixed((1, D)), fixed((1, D)),                        # lnf
             fixed((D, CP)), fixed((1, CP)),                      # cls
-            pl.BlockSpec((L, bt, H, TE, DK), lambda i: (0, i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),               # enc_k
-            pl.BlockSpec((L, bt, H, TE, DK), lambda i: (0, i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),               # enc_v
+            pl.BlockSpec((L, bt, H, TE, 2 * DK),
+                         lambda i: (0, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),               # enc_kv
         ],
         out_specs=pl.BlockSpec((bt, S, CP), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, S, CP), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((L, bt, H, T, DK), jnp.bfloat16),         # ck
-            pltpu.VMEM((L, bt, H, T, DK), jnp.bfloat16),         # cv
+            pltpu.VMEM((L, bt, H, T, 2 * DK), jnp.bfloat16),     # packed KV
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
@@ -228,7 +232,7 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
       weights['lnf_b'].astype(jnp.float32),
       weights['wcls'].astype(jnp.bfloat16),
       weights['bcls'].astype(jnp.float32),
-      enc_k.astype(jnp.bfloat16), enc_v.astype(jnp.bfloat16))
+      enc_kv.astype(jnp.bfloat16))
     return probs[:, :, :num_classes]
 
 
