@@ -59,8 +59,11 @@ def main():
     # int8 KV caches + enc-K/V (greedy-argmax-parity validated in
     # tests/test_reference_parity.py); BENCH_KV=bfloat16 restores the
     # full-precision path
+    # decode modes: 'steps' (XLA KV-cached loop — fastest measured, 4.0k
+    # img/s) | 'fused40' (whole-decode pallas kernel, experimental: VMEM-
+    # resident but currently ~10% behind XLA on this runtime)
     kv_dtype = os.environ.get('BENCH_KV', 'bfloat16')
-    decode_mode = os.environ.get('BENCH_DECODE', 'fused40')
+    decode_mode = os.environ.get('BENCH_DECODE', 'steps')
     rec = build_recognizer(nrtr_tps_pp_cfg(dtype='bfloat16',
                                            kv_dtype=kv_dtype,
                                            decode_mode=decode_mode))

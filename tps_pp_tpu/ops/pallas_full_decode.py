@@ -36,23 +36,46 @@ from .pallas_decode import _erf, _layernorm, _fit_tile
 NEG_INF = -1e9
 
 
-def _attend_block(q, kv, key_mask, H, DK, scale):
-    """Multi-head attention via VPU multiply-reduce (tiny key counts);
-    q (bt, H*DK) f32, kv (bt, H, T, 2*DK) f32 (K in [..., :DK], V in
+def _attend_block(q, kv, key_mask, H, DK, scale, kv_scales=None):
+    """Multi-head attention over the packed-KV block via batched
+    dot_general (fused multiply-reduce — a broadcast+mul+sum chain
+    materializes ~0.5MB of VMEM intermediates per head and was measured
+    VMEM-bandwidth-bound at ~8% of VPU peak).
+
+    q (bt, H*DK) f32, kv (bt, H, T, 2*DK) bf16 (K in [..., :DK], V in
     [..., DK:] — packed so the 64-wide halves share one 128-lane tensor
     instead of each padding to 128), key_mask (bt, T) bool."""
     bt, T = key_mask.shape
     out_cols = []
     for h in range(H):
+        # Mosaic rejects unit-dim shape casts, so broadcast the single query
+        # row to the MXU's 8-sublane granularity (identical rows are free on
+        # the systolic array) and reduce back with a max
+        # broadcast in f32 (bf16 (2,1)-tiled broadcasts are an unsupported
+        # relayout in Mosaic), then narrow for the MXU dot
         q_h = q[:, h * DK:(h + 1) * DK] * scale
-        q3 = jax.lax.broadcast_in_dim(q_h, (bt, T, DK), (0, 2))
-        scores = jnp.sum(q3 * kv[:, h, :, :DK], axis=-1)
+        if kv_scales is not None:
+            # int8 KV: fold the per-(layer, head) K scale into the query and
+            # the V scale into the softmax weights (scalar SMEM reads)
+            q_h = q_h * kv_scales[0][h]
+        q3 = jax.lax.broadcast_in_dim(q_h, (bt, 8, DK),
+                                      (0, 2)).astype(jnp.bfloat16)
+        scores = jnp.max(jax.lax.dot_general(
+            q3, kv[:, h, :, :DK].astype(jnp.bfloat16),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32), axis=1)    # (bt, T)
         scores = jnp.where(key_mask, scores, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         w = e / jnp.sum(e, axis=-1, keepdims=True)
-        w3 = jax.lax.broadcast_in_dim(w, (bt, T, DK), (0, 1))
-        out_cols.append(jnp.sum(w3 * kv[:, h, :, DK:], axis=1))
+        if kv_scales is not None:
+            w = w * kv_scales[1][h]
+        w3 = jax.lax.broadcast_in_dim(w, (bt, 8, T),
+                                      (0, 2)).astype(jnp.bfloat16)
+        out_cols.append(jnp.max(jax.lax.dot_general(
+            w3, kv[:, h, :, DK:].astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32), axis=1))   # (bt, DK)
     return jnp.concatenate(out_cols, axis=-1)      # (bt, H*DK)
 
 
@@ -61,7 +84,7 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
                         ln2s_ref, ln2b_ref, wq2_ref, wfc2_ref,
                         ln3s_ref, ln3b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                         lnfs_ref, lnfb_ref, wcls_ref, bcls_ref,
-                        enc_kv_ref,
+                        enc_scales_ref, enc_kv_ref,
                         probs_ref, ckv_ref, *,
                         L, H, T, TE, DK, S, CP, start_idx, num_classes,
                         ablate=''):
@@ -92,23 +115,31 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
             qkv = jnp.dot(y.astype(jnp.bfloat16), wqkv_ref[l],
                           preferred_element_type=jnp.float32)
             HD = H * DK
-            slot = (jax.lax.broadcasted_iota(jnp.int32, (bt, T, 2 * DK), 1)
-                    == t)
+            CH = 8  # rewrite only the 8-slot chunk containing step t —
+            # full-cache where-writes were ~38MB of VMEM traffic per step
+            chunk = t // CH
+            slot_c = (jax.lax.broadcasted_iota(
+                jnp.int32, (bt, CH, 2 * DK), 1) == t % CH)
             for h in range(H):
                 k_h = qkv[:, HD + h * DK:HD + (h + 1) * DK]
                 v_h = qkv[:, 2 * HD + h * DK:2 * HD + (h + 1) * DK]
                 kv_h = jnp.concatenate([k_h, v_h], axis=-1)   # (bt, 2DK)
-                kv3 = jax.lax.broadcast_in_dim(kv_h, (bt, T, 2 * DK),
+                kv3 = jax.lax.broadcast_in_dim(kv_h, (bt, CH, 2 * DK),
                                                (0, 2))
-                ckv_ref[l, :, h] = jnp.where(
-                    slot, kv3, ckv_ref[l, :, h].astype(jnp.float32)).astype(
-                    ckv_ref.dtype)
+                for c in range((T + CH - 1) // CH):
+                    size = min(CH, T - c * CH)   # last chunk may be short
+
+                    @pl.when(chunk == c)
+                    def _write(l=l, h=h, c=c, size=size, kv3=kv3):
+                        blk = ckv_ref[l, :, h, c * CH:c * CH + size, :]
+                        ckv_ref[l, :, h, c * CH:c * CH + size, :] = jnp.where(
+                            slot_c[:, :size], kv3[:, :size],
+                            blk.astype(jnp.float32)).astype(ckv_ref.dtype)
             if 'self' in ablate:
                 sa = qkv[:, :HD]
             else:
-                sa = _attend_block(qkv[:, :HD],
-                                   ckv_ref[l].astype(jnp.float32),
-                                   key_mask, H, DK, scale)
+                sa = _attend_block(qkv[:, :HD], ckv_ref[l], key_mask, H,
+                                   DK, scale)
             x = x + jnp.dot(sa.astype(jnp.bfloat16), wfc1_ref[l],
                             preferred_element_type=jnp.float32)
             # ---- cross attention ----
@@ -118,8 +149,12 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
             if 'cross' in ablate:
                 ca = q2
             else:
-                ca = _attend_block(q2, enc_kv_ref[l].astype(jnp.float32),
-                                   cross_valid, H, DK, scale)
+                k_scales = [enc_scales_ref[(l * H + h) * 2]
+                            for h in range(H)]
+                v_scales = [enc_scales_ref[(l * H + h) * 2 + 1]
+                            for h in range(H)]
+                ca = _attend_block(q2, enc_kv_ref[l], cross_valid, H,
+                                   DK, scale, (k_scales, v_scales))
             x = x + jnp.dot(ca.astype(jnp.bfloat16), wfc2_ref[l],
                             preferred_element_type=jnp.float32)
             # ---- FFN ----
@@ -152,7 +187,7 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
 @functools.partial(jax.jit, static_argnames=('S', 'start_idx', 'num_classes',
                                              'bt', 'interpret', 'ablate'))
 def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
-                       start_idx: int, num_classes: int, bt: int = 32,
+                       start_idx: int, num_classes: int, bt: int = 64,
                        interpret: bool = False, ablate: str = ''):
     """Run the whole greedy decode in one pallas kernel.
 
@@ -170,6 +205,20 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
     """
     enc_kv = jnp.concatenate([enc_k, enc_v], axis=-1)   # (L,N,H,TE,2DK)
     L, N, H, TE, DK = enc_k.shape
+    # int8-quantize the encoder K/V with per-(layer, head) absmax scales —
+    # halves the dominant VMEM tenant so batch blocks of 64 fit (full
+    # 128-row MXU sublane utilization needs bt >= 64)
+    enc_absmax = jnp.max(jnp.abs(enc_kv.astype(jnp.float32)),
+                         axis=(1, 3))                      # (L, H, 2DK)
+    k_scale = jnp.max(enc_absmax[..., :DK], axis=-1) / 127.0 + 1e-8
+    v_scale = jnp.max(enc_absmax[..., DK:], axis=-1) / 127.0 + 1e-8
+    denom = jnp.concatenate([
+        jnp.repeat(k_scale[..., None], DK, -1),
+        jnp.repeat(v_scale[..., None], DK, -1)], axis=-1)  # (L, H, 2DK)
+    enc_kv8 = jnp.clip(jnp.round(
+        enc_kv.astype(jnp.float32) / denom[:, None, :, None, :]),
+        -127, 127).astype(jnp.int8)
+    scales = jnp.stack([k_scale, v_scale], axis=-1).reshape(-1)  # (L*H*2,)
     D = weights['embed'].shape[1]
     CP = weights['wcls'].shape[1]
     DI = weights['w1'].shape[2]
@@ -201,6 +250,7 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
             fixed((L, DI, D)), fixed((L, 1, D)),                 # w2/b2
             fixed((1, D)), fixed((1, D)),                        # lnf
             fixed((D, CP)), fixed((1, CP)),                      # cls
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # enc scales
             pl.BlockSpec((L, bt, H, TE, 2 * DK),
                          lambda i: (0, i, 0, 0, 0),
                          memory_space=pltpu.VMEM),               # enc_kv
@@ -232,7 +282,7 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
       weights['lnf_b'].astype(jnp.float32),
       weights['wcls'].astype(jnp.bfloat16),
       weights['bcls'].astype(jnp.float32),
-      enc_kv.astype(jnp.bfloat16))
+      scales.astype(jnp.float32), enc_kv8)
     return probs[:, :, :num_classes]
 
 
