@@ -520,3 +520,41 @@ def test_maskrcnn_detect_and_rpn_loss():
                      np.float32)
     keep = nms_xyxy(boxes, np.array([0.9, 0.8, 0.7]), 0.5, 10)
     assert list(keep) == [0, 2]
+
+
+def test_train_detector_api(tmp_path):
+    """Config -> train_detector loop (the tools/train.py det dispatch)."""
+    import cv2
+    import json
+    from tps_pp_tpu.apis.train_det import train_detector
+    from tps_pp_tpu.config import ConfigDict
+    from tps_pp_tpu.datasets import TextDetDataset
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    cv2.rectangle(img, (10, 20), (50, 40), (255, 255, 255), -1)
+    cv2.imwrite(str(tmp_path / 'a.jpg'), img)
+    ann = {'file_name': 'a.jpg', 'annotations': [
+        {'polygon': [10, 20, 50, 20, 50, 40, 10, 40]}]}
+    (tmp_path / 'det.jsonl').write_text('\n'.join([json.dumps(ann)] * 4))
+
+    cfg = ConfigDict._wrap({
+        'model': {
+            'type': 'PANet',
+            'backbone': dict(type='ResNetDet', stage_blocks=[1, 1, 1, 1],
+                             base_channels=8),
+            'neck': dict(type='FPEM_FFM', in_channels=[8, 16, 32, 64],
+                         conv_out=16),
+            'head': dict(type='PANHead', out_channels=6),
+            'loss': dict(type='PANLoss'),
+            'targets': dict(type='PANetTargets'),
+        },
+        'optimizer': dict(type='Adam', lr=1e-3),
+        'total_epochs': 2,
+    })
+    ds = TextDetDataset(str(tmp_path / 'det.jsonl'),
+                        img_prefix=str(tmp_path), img_size=(64, 64),
+                        test_mode=True)  # targets generated by the loop
+    variables, history = train_detector(cfg, ds, batch_size=2,
+                                        work_dir=str(tmp_path / 'wd'))
+    assert len(history) == 2 and all(np.isfinite(history))
+    assert (tmp_path / 'wd' / 'epoch_2.npz').exists()

@@ -54,6 +54,18 @@ def main():
         options[k] = v
     merge_cli_options(cfg, options)
 
+    from tps_pp_tpu.apis.train_det import DET_TYPES, train_detector
+    if cfg['model'].get('type') in DET_TYPES:
+        # detection configs go through the det loop (the reference trains
+        # every task via the same CLI, tools/train.py:96-214)
+        from tps_pp_tpu.datasets import TextDetDataset
+        d = dict(cfg['data']['train']) if 'data' in cfg else {}
+        d.pop('type', None)
+        train_ds = TextDetDataset(**d)
+        train_detector(cfg, train_ds, work_dir=args.work_dir,
+                       seed=args.seed)
+        return
+
     rec = build_recognizer(cfg['model'])
     train_ds = build_dataset(cfg['data']['train'])
     val_ds = (build_dataset(cfg['data']['val'], dict(test_mode=True))
