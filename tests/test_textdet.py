@@ -558,3 +558,42 @@ def test_train_detector_api(tmp_path):
                                         work_dir=str(tmp_path / 'wd'))
     assert len(history) == 2 and all(np.isfinite(history))
     assert (tmp_path / 'wd' / 'epoch_2.npz').exists()
+
+
+def test_db_quad_unclip_geometry():
+    """Quad unclip = exact rect inflation by d = A*r/L (reference pyclipper
+    offset semantics for rectangles)."""
+    prob = np.zeros((80, 80), np.float32)
+    prob[30:50, 10:70] = 0.95          # 60x20 rect: A=1200ish, L=160ish
+    post = DBPostprocessor(unclip_ratio=1.5)
+    b = post(prob)[0]
+    pts = b[:-1].reshape(-1, 2)
+    w = pts[:, 0].max() - pts[:, 0].min()
+    h = pts[:, 1].max() - pts[:, 1].min()
+    # d ~ A*1.5/L ~ 59*19*1.5/156 ~ 10.8 -> each side grows by ~d
+    assert 75 <= w <= 85 and 36 <= h <= 46, (w, h)
+
+
+def test_maskrcnn_roi_losses():
+    from tps_pp_tpu.models.textdet.maskrcnn import (_sample_rois,
+                                                    make_mask_targets,
+                                                    roi_head_losses)
+    rng = np.random.default_rng(0)
+    gt = np.array([[10, 10, 40, 30]], np.float32)
+    proposals = np.array([[12, 11, 41, 29],   # pos
+                          [50, 50, 60, 60],   # neg
+                          [9, 12, 38, 31]], np.float32)
+    rois, labels, deltas, midx = _sample_rois(proposals, gt, num=8, rng=rng)
+    assert rois.shape == (8, 4) and labels.sum() >= 1
+    gt_mask = np.zeros((64, 64), np.uint8)
+    gt_mask[12:28, 12:38] = 1
+    mt = make_mask_targets(rois, [gt_mask], midx, out_size=14)
+    assert mt.shape == (8, 14, 14)
+    assert mt[labels == 1].sum() > 0
+
+    cls = jnp.asarray(rng.standard_normal((8, 2)), jnp.float32)
+    pd = jnp.asarray(rng.standard_normal((8, 4)), jnp.float32)
+    ml = jnp.asarray(rng.standard_normal((8, 14, 14, 1)), jnp.float32)
+    losses = roi_head_losses(cls, pd, ml, labels, deltas, mt)
+    assert set(losses) == {'loss_cls', 'loss_bbox', 'loss_mask'}
+    assert all(np.isfinite(float(v)) for v in losses.values())

@@ -357,3 +357,83 @@ class MaskRCNNDetector:
         l1 = jnp.abs(reg - deltas).sum(-1) * pos
         loss_box = jnp.sum(l1) / jnp.maximum(jnp.sum(pos), 1.0)
         return {'loss_rpn_cls': loss_cls, 'loss_rpn_bbox': loss_box}
+
+
+def _sample_rois(proposals, gt_boxes, num=64, pos_fraction=0.25,
+                 pos_thr=0.5, rng=None):
+    """RoI sampling for the second stage (mmdet RandomSampler semantics):
+    returns (rois (num, 4), labels (num,), target_deltas (num, 4),
+    matched_gt_idx (num,)); rois are padded by repetition."""
+    rng = rng or np.random.default_rng(0)
+    gt_boxes = np.asarray(gt_boxes, np.float32).reshape(-1, 4)
+    cand = np.concatenate([proposals, gt_boxes], axis=0) \
+        if len(gt_boxes) else proposals
+    if len(cand) == 0:
+        return None
+    if len(gt_boxes):
+        iou = bbox_iou_matrix(cand, gt_boxes)
+        best, arg = iou.max(1), iou.argmax(1)
+    else:
+        best = np.zeros(len(cand))
+        arg = np.zeros(len(cand), np.int64)
+    pos_inds = np.nonzero(best >= pos_thr)[0]
+    neg_inds = np.nonzero(best < pos_thr)[0]
+    n_pos = min(len(pos_inds), int(num * pos_fraction))
+    pos_pick = rng.choice(pos_inds, n_pos, replace=False) if n_pos else \
+        np.zeros(0, np.int64)
+    n_neg = num - n_pos
+    neg_pick = (rng.choice(neg_inds, n_neg,
+                           replace=len(neg_inds) < n_neg)
+                if len(neg_inds) else
+                np.repeat(pos_pick[:1] if n_pos else np.zeros(1, np.int64),
+                          n_neg))
+    pick = np.concatenate([pos_pick, neg_pick]).astype(np.int64)
+    rois = cand[pick]
+    labels = (best[pick] >= pos_thr).astype(np.int32)
+    deltas = np.zeros((num, 4), np.float32)
+    if len(gt_boxes):
+        deltas = bbox2delta(rois, gt_boxes[arg[pick]],
+                            stds=(0.1, 0.1, 0.2, 0.2))
+    return rois, labels, deltas, arg[pick]
+
+
+def roi_head_losses(cls_logits, pred_deltas, mask_logits, labels, deltas,
+                    mask_targets):
+    """Second-stage losses (mmdet Shared2FCBBoxHead + FCNMaskHead):
+    CE over bg/text, L1 deltas on positives, per-pixel BCE masks on
+    positives."""
+    import jax
+    import jax.numpy as jnp
+
+    labels = jnp.asarray(labels)
+    pos = (labels == 1).astype(jnp.float32)
+    logp = jax.nn.log_softmax(cls_logits.astype(jnp.float32), -1)
+    loss_cls = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], -1))
+    l1 = jnp.abs(pred_deltas.astype(jnp.float32) -
+                 jnp.asarray(deltas)).sum(-1)
+    loss_bbox = jnp.sum(l1 * pos) / jnp.maximum(jnp.sum(pos), 1.0)
+    m = mask_logits[..., 0].astype(jnp.float32)
+    t = jnp.asarray(mask_targets, jnp.float32)
+    bce = jnp.maximum(m, 0) - m * t + jnp.log1p(jnp.exp(-jnp.abs(m)))
+    loss_mask = jnp.sum(bce.mean(axis=(1, 2)) * pos) / jnp.maximum(
+        jnp.sum(pos), 1.0)
+    return {'loss_cls': loss_cls, 'loss_bbox': loss_bbox,
+            'loss_mask': loss_mask}
+
+
+def make_mask_targets(rois, gt_masks, matched_idx, out_size=28):
+    """Crop each matched gt instance mask to its RoI and resize to the mask
+    head's output resolution."""
+    out = np.zeros((len(rois), out_size, out_size), np.float32)
+    for i, (roi, gi) in enumerate(zip(rois, matched_idx)):
+        if gi < 0 or gi >= len(gt_masks):
+            continue
+        x0, y0, x1, y1 = [int(v) for v in roi]
+        H, W = gt_masks[gi].shape
+        x0, y0 = max(x0, 0), max(y0, 0)
+        x1, y1 = min(max(x1, x0 + 1), W), min(max(y1, y0 + 1), H)
+        crop = gt_masks[gi][y0:y1, x0:x1].astype(np.float32)
+        if crop.size:
+            out[i] = cv2.resize(crop, (out_size, out_size),
+                                interpolation=cv2.INTER_NEAREST)
+    return out

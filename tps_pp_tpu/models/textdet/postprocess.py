@@ -45,22 +45,31 @@ class DBPostprocessor:
                 continue
             area = cv2.contourArea(contour)
             length = cv2.arcLength(contour, True)
-            d = int(round(area * self.unclip_ratio / max(length, 1.0)))
-            if d > 0:
-                kernel = cv2.getStructuringElement(
-                    cv2.MORPH_ELLIPSE, (2 * d + 1, 2 * d + 1))
-                comp = cv2.dilate(comp, kernel)
-                cs, _ = cv2.findContours(comp, cv2.RETR_EXTERNAL,
-                                         cv2.CHAIN_APPROX_SIMPLE)
-                if not cs:
-                    continue
-                contour = max(cs, key=cv2.contourArea)
+            d = area * self.unclip_ratio / max(length, 1.0)
             if self.text_repr_type == 'quad':
+                # EXACT unclip for quads: offsetting a rotated rectangle by
+                # distance d is just growing both sides by 2d (equivalent to
+                # the reference's pyclipper offset for rectangles,
+                # db_postprocessor.py unclip)
                 rect = cv2.minAreaRect(contour)
+                (cx, cy), (rw, rh), ang = rect
+                rect = ((cx, cy), (rw + 2 * d, rh + 2 * d), ang)
                 if min(rect[1]) < self.min_text_width:
                     continue
                 points = cv2.boxPoints(rect)
             else:
+                # poly mode: pyclipper is unavailable — approximate the
+                # round-join offset by mask dilation with radius d
+                di = int(round(d))
+                if di > 0:
+                    kernel = cv2.getStructuringElement(
+                        cv2.MORPH_ELLIPSE, (2 * di + 1, 2 * di + 1))
+                    comp = cv2.dilate(comp, kernel)
+                    cs, _ = cv2.findContours(comp, cv2.RETR_EXTERNAL,
+                                             cv2.CHAIN_APPROX_SIMPLE)
+                    if not cs:
+                        continue
+                    contour = max(cs, key=cv2.contourArea)
                 points = contour.reshape(-1, 2)
                 if len(points) < 4:
                     continue
