@@ -341,3 +341,259 @@ def test_crnn_parity():
     got = dec.apply(dec_vars, featj)
     np.testing.assert_allclose(np.asarray(got), ref_logits.numpy(),
                                atol=1e-4, rtol=1e-3)
+
+
+# --------------------------------------------------------------------- SAR --
+
+def test_sar_parity():
+    """SAREncoder (holistic LSTM) + ParallelSARDecoder teacher-forced AND
+    greedy decode vs the executed reference (sar_encoder.py:14-111,
+    sar_decoder.py:27-257)."""
+    from tps_pp_tpu.models.encoders.sar import SAREncoder
+    from tps_pp_tpu.models.decoders.sar import ParallelSARDecoder
+    from tps_pp_tpu.utils.torch_convert import sar_rules
+
+    _seed_all(6)
+    C, PAD = 37, 36
+    ref_e = REF.SAREncoder()
+    ref_d = REF.ParallelSARDecoder(num_classes=C, padding_idx=PAD,
+                                   max_seq_len=8)
+    ref_e.eval()
+    ref_d.eval()
+    ref_d.train_mode = False  # set by BaseDecoder.forward; calling
+    # forward_train/forward_test directly needs it (dropout is 0 anyway)
+    feat = torch.randn(2, 512, 4, 16)
+    metas = [{'valid_ratio': 0.6}, {'valid_ratio': 1.0}]
+    tgt = torch.tensor([[0, 5, 9, 2, PAD, PAD, PAD, PAD],
+                        [0, 7, 3, 3, 4, 6, 2, PAD]], dtype=torch.long)
+    with torch.no_grad():
+        hol = ref_e(feat, metas)
+        ref_tf = ref_d.forward_train(feat, hol, {'padded_targets': tgt},
+                                     metas)
+        ref_greedy = ref_d.forward_test(feat, hol, metas)
+
+    enc = SAREncoder(dtype=jnp.float32)
+    dec = ParallelSARDecoder(num_classes=C, padding_idx=PAD, max_seq_len=8,
+                             dtype=jnp.float32)
+    fj = jnp.asarray(to_nhwc(feat))
+    vr = jnp.asarray([0.6, 1.0], jnp.float32)
+    e_vars = enc.init(jax.random.PRNGKey(0), fj, vr)
+    holj0 = enc.apply(e_vars, fj, vr)
+    d_vars = dec.init(jax.random.PRNGKey(1), fj, holj0,
+                      targets=jnp.asarray(tgt.numpy()), valid_ratio=vr)
+
+    sd = _wrap(encoder=ref_e, decoder=ref_d)
+    flat = convert_state_dict(sd, filter_rules_to_state(sar_rules(), sd))
+    e_flat = {t: {p[len('encoder/'):]: a for p, a in e.items()
+                  if p.startswith('encoder/')} for t, e in flat.items()}
+    d_flat = {t: {p[len('decoder/'):]: a for p, a in e.items()
+                  if p.startswith('decoder/')} for t, e in flat.items()}
+    e_vars = merge_flat(e_vars, e_flat)
+    d_vars = merge_flat(d_vars, d_flat)
+
+    holj = enc.apply(e_vars, fj, vr)
+    np.testing.assert_allclose(np.asarray(holj), hol.numpy(),
+                               atol=3e-5, rtol=1e-4)
+
+    got_tf = dec.apply(d_vars, fj, holj, targets=jnp.asarray(tgt.numpy()),
+                       valid_ratio=vr)
+    np.testing.assert_allclose(np.asarray(got_tf), ref_tf.numpy(),
+                               atol=1e-4, rtol=1e-3)
+
+    carry, static = dec.apply(d_vars, fj, holj, vr, method='decode_init')
+    token = jnp.full((2,), 0, jnp.int32)  # start_idx
+    probs = []
+    for t in range(8):
+        p, carry = dec.apply(d_vars, token, t, carry, static,
+                             method='decode_step')
+        probs.append(np.asarray(p))
+        token = jnp.argmax(p, axis=-1).astype(jnp.int32)
+    got = np.stack(probs, axis=1)
+    np.testing.assert_array_equal(got.argmax(-1),
+                                  ref_greedy.numpy().argmax(-1))
+    np.testing.assert_allclose(got, ref_greedy.numpy(), atol=1e-4, rtol=1e-3)
+
+
+# ------------------------------------------------------------------- SATRN --
+
+def test_satrn_encoder_parity():
+    """SatrnEncoder (adaptive 2D PE with its double-add quirk + locality-
+    aware FFN) vs the executed reference (satrn_encoder.py:13-85)."""
+    from tps_pp_tpu.models.encoders.satrn import SatrnEncoder
+    from tps_pp_tpu.utils.torch_convert import satrn_rules
+
+    _seed_all(7)
+    ref = REF.SatrnEncoder(n_layers=2, n_head=8, d_k=32, d_v=32,
+                           d_model=256, d_inner=512, dropout=0.1)
+    ref.eval()
+    feat = torch.randn(2, 256, 8, 16)
+    metas = [{'valid_ratio': 0.6}, {'valid_ratio': 1.0}]
+    with torch.no_grad():
+        ref_out = ref(feat.clone(), metas)  # clone: reference mutates feat
+
+    mod = SatrnEncoder(n_layers=2, n_head=8, d_k=32, d_v=32, d_model=256,
+                       d_inner=512, dtype=jnp.float32)
+    fj = jnp.asarray(to_nhwc(feat))
+    vr = jnp.asarray([0.6, 1.0], jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), fj, vr)
+    sd = _wrap(encoder=ref)
+    flat = convert_state_dict(
+        sd, filter_rules_to_state(satrn_rules(n_layers=2, fp=''), sd))
+    flat = {t: {p.lstrip('/'): a for p, a in e.items()}
+            for t, e in flat.items()}
+    variables = merge_flat(variables, flat)
+    got = mod.apply(variables, fj, vr)
+    np.testing.assert_allclose(np.asarray(got), ref_out.numpy(),
+                               atol=1e-4, rtol=1e-3)
+
+
+# ----------------------------------------------------------- RobustScanner --
+
+def test_robust_scanner_parity():
+    """ChannelReductionEncoder + RobustScannerDecoder (hybrid LSTM branch +
+    position branch + GLU fusion) teacher-forced AND greedy vs the executed
+    reference (robust_scanner_decoder.py:75-200)."""
+    from tps_pp_tpu.models.encoders.satrn import ChannelReductionEncoder
+    from tps_pp_tpu.models.decoders.robust_scanner import RobustScannerDecoder
+    from tps_pp_tpu.utils.torch_convert import robust_scanner_rules
+
+    _seed_all(8)
+    C, PAD = 37, 36
+    ref_e = REF.ChannelReductionEncoder(in_channels=512, out_channels=128)
+    ref_d = REF.RobustScannerDecoder(
+        num_classes=C, dim_input=512, dim_model=128,
+        hybrid_decoder=dict(type='SequenceAttentionDecoder'),
+        position_decoder=dict(type='PositionAttentionDecoder'),
+        padding_idx=PAD, max_seq_len=8)
+    ref_e.eval()
+    ref_d.eval()
+    ref_d.train_mode = False
+    ref_d.hybrid_decoder.train_mode = False
+    ref_d.position_decoder.train_mode = False
+    feat = torch.randn(2, 512, 4, 16)
+    metas = [{'valid_ratio': 0.6}, {'valid_ratio': 1.0}]
+    tgt = torch.tensor([[0, 5, 9, 2, PAD, PAD, PAD, PAD],
+                        [0, 7, 3, 3, 4, 6, 2, PAD]], dtype=torch.long)
+    with torch.no_grad():
+        out_enc = ref_e(feat, None)
+        ref_tf = ref_d.forward_train(feat, out_enc,
+                                     {'padded_targets': tgt}, metas)
+        ref_greedy = ref_d.forward_test(feat, out_enc, metas)
+
+    enc = ChannelReductionEncoder(dtype=jnp.float32)
+    dec = RobustScannerDecoder(num_classes=C, padding_idx=PAD, max_seq_len=8,
+                               dtype=jnp.float32)
+    fj = jnp.asarray(to_nhwc(feat))
+    vr = jnp.asarray([0.6, 1.0], jnp.float32)
+    e_vars = enc.init(jax.random.PRNGKey(0), fj)
+    oj0 = enc.apply(e_vars, fj)
+    d_vars = dec.init(jax.random.PRNGKey(1), fj, oj0,
+                      targets=jnp.asarray(tgt.numpy()), valid_ratio=vr)
+
+    sd = _wrap(encoder=ref_e, decoder=ref_d)
+    flat = convert_state_dict(
+        sd, filter_rules_to_state(robust_scanner_rules(), sd))
+    e_flat = {t: {p[len('encoder/'):]: a for p, a in e.items()
+                  if p.startswith('encoder/')} for t, e in flat.items()}
+    d_flat = {t: {p[len('decoder/'):]: a for p, a in e.items()
+                  if p.startswith('decoder/')} for t, e in flat.items()}
+    e_vars = merge_flat(e_vars, e_flat)
+    d_vars = merge_flat(d_vars, d_flat)
+
+    oj = enc.apply(e_vars, fj)
+    np.testing.assert_allclose(np.asarray(oj), to_nhwc(out_enc),
+                               atol=3e-5, rtol=1e-4)
+    got_tf = dec.apply(d_vars, fj, oj, targets=jnp.asarray(tgt.numpy()),
+                       valid_ratio=vr)
+    np.testing.assert_allclose(np.asarray(got_tf), ref_tf.numpy(),
+                               atol=1e-4, rtol=1e-3)
+
+    carry, static = dec.apply(d_vars, fj, oj, vr, method='decode_init')
+    token = jnp.full((2,), 0, jnp.int32)
+    probs = []
+    for t in range(8):
+        p, carry = dec.apply(d_vars, token, t, carry, static,
+                             method='decode_step')
+        probs.append(np.asarray(p))
+        token = jnp.argmax(p, axis=-1).astype(jnp.int32)
+    got = np.stack(probs, axis=1)
+    np.testing.assert_array_equal(got.argmax(-1),
+                                  ref_greedy.numpy().argmax(-1))
+    np.testing.assert_allclose(got, ref_greedy.numpy(), atol=1e-4, rtol=1e-3)
+
+
+# ------------------------------------------------------------------ ABINet --
+
+def test_abinet_parity():
+    """ABINet module stack vs the executed reference: TransformerEncoder
+    (mmcv BaseTransformerLayer blocks), ABIVisionDecoder (mini-UNet
+    attention), ABILanguageDecoder (BCN with location mask), ABIFuser
+    (encoders/transformer.py:12-82, abinet_vision_decoder.py,
+    abinet_language_decoder.py, abi_fuser.py)."""
+    from tps_pp_tpu.models.encoders.abi import TransformerEncoder
+    from tps_pp_tpu.models.decoders.abi import (ABILanguageDecoder,
+                                                ABIVisionDecoder)
+    from tps_pp_tpu.models.fusers import ABIFuser
+    from tps_pp_tpu.utils.torch_convert import abinet_rules
+
+    _seed_all(9)
+    C, T = 37, 8
+    ref_e = REF.TransformerEncoder(n_layers=2, num_classes=C)
+    ref_v = REF.ABIVisionDecoder(num_chars=C, max_seq_len=T)
+    ref_l = REF.ABILanguageDecoder(num_chars=C, max_seq_len=T, n_layers=2)
+    ref_f = REF.ABIFuser(max_seq_len=T, num_chars=C)
+    for m in (ref_e, ref_v, ref_l, ref_f):
+        m.eval()
+    ref_v.train_mode = False
+    ref_l.train_mode = False
+    feat = torch.randn(2, 512, 8, 32)
+    logits_in = torch.randn(2, T, C)
+    with torch.no_grad():
+        enc_out = ref_e(feat.clone())
+        vis = ref_v.forward_train(enc_out, None, None, None)
+        lang = ref_l.forward_train(None, logits_in, None, None)
+        fused = ref_f(lang['feature'], vis['feature'][:, :T])
+
+    enc = TransformerEncoder(n_layers=2, dtype=jnp.float32)
+    vdec = ABIVisionDecoder(num_chars=C, max_seq_len=T, dtype=jnp.float32)
+    ldec = ABILanguageDecoder(num_chars=C, max_seq_len=T, n_layers=2,
+                              dtype=jnp.float32)
+    fuser = ABIFuser(num_chars=C, dtype=jnp.float32)
+    fj = jnp.asarray(to_nhwc(feat))
+    lj = jnp.asarray(logits_in.numpy())
+
+    e_vars = enc.init(jax.random.PRNGKey(0), fj)
+    v_vars = vdec.init(jax.random.PRNGKey(1), fj)
+    l_vars = ldec.init(jax.random.PRNGKey(2), None, lj)
+    f_vars = fuser.init(jax.random.PRNGKey(3),
+                        jnp.zeros((2, T, 512)), jnp.zeros((2, T, 512)))
+
+    sd = _wrap(encoder=ref_e, vision=ref_v, language=ref_l, fuser=ref_f)
+    flat = convert_state_dict(
+        sd, filter_rules_to_state(abinet_rules(n_enc_layers=2,
+                                               n_lang_layers=2), sd))
+
+    def sub(flat, prefix):
+        return {t: {p[len(prefix):]: a for p, a in e.items()
+                    if p.startswith(prefix)} for t, e in flat.items()}
+
+    e_vars = merge_flat(e_vars, sub(flat, 'encoder/'))
+    v_vars = merge_flat(v_vars, sub(flat, 'vision/'))
+    l_vars = merge_flat(l_vars, sub(flat, 'language/'))
+    f_vars = merge_flat(f_vars, sub(flat, 'fuser/'))
+
+    enc_got = enc.apply(e_vars, fj)
+    np.testing.assert_allclose(np.asarray(enc_got), to_nhwc(enc_out),
+                               atol=1e-4, rtol=1e-3)
+    vis_got = vdec.apply(v_vars, enc_got)
+    np.testing.assert_allclose(np.asarray(vis_got['logits']),
+                               vis['logits'].numpy(), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(vis_got['feature']),
+                               vis['feature'].numpy(), atol=1e-4, rtol=1e-3)
+    lang_got = ldec.apply(l_vars, None, lj)
+    np.testing.assert_allclose(np.asarray(lang_got['logits']),
+                               lang['logits'].numpy(), atol=1e-4, rtol=1e-3)
+    fuse_got = fuser.apply(f_vars, jnp.asarray(lang['feature'].numpy()),
+                           jnp.asarray(vis['feature'][:, :T].numpy()))
+    np.testing.assert_allclose(np.asarray(fuse_got['logits']),
+                               fused['logits'].numpy(), atol=1e-4, rtol=1e-3)

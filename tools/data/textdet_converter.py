@@ -131,15 +131,58 @@ def convert_coco(json_path, img_dir):
             for i, anns in per_img.items() if i in imgs]
 
 
+def convert_synthtext(mat_path, img_dir):
+    """SynthText gt.mat word quads -> det JSON lines (reference
+    textdet/synthtext_converter.py)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'trc', os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'textrecog_converter.py'))
+    trc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(trc)
+    records = []
+    for img_path, words, quads, _ in trc._load_synthtext_gt(mat_path):
+        anns = [{'polygon': q.reshape(-1).tolist(), 'text': w}
+                for w, q in zip(words, quads)]
+        records.append({'file_name': img_path, 'annotations': anns})
+    return records
+
+
+def convert_textocr_det(json_path, img_dir):
+    """TextOCR json points -> det JSON lines (reference
+    textdet/textocr_converter.py)."""
+    with open(json_path, encoding='utf-8') as f:
+        data = json.load(f)
+    per_img = {}
+    for ann in (data['anns'].values() if isinstance(data['anns'], dict)
+                else data['anns']):
+        text = ann.get('utf8_string', '')
+        poly = ann.get('points') or []
+        if len(poly) < 8:
+            x, y, w, h = ann['bbox']
+            poly = [x, y, x + w, y, x + w, y + h, x, y + h]
+        entry = {'polygon': [float(v) for v in poly], 'text': text}
+        if text == '.':
+            entry['ignore'] = True
+        per_img.setdefault(ann['image_id'], []).append(entry)
+    imgs = data['imgs']
+    return [{'file_name': imgs[str(i)]['file_name']
+             if str(i) in imgs else imgs[i]['file_name'],
+             'annotations': anns} for i, anns in per_img.items()]
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('kind', choices=['icdar', 'ctw1500', 'totaltext', 'coco'])
+    p.add_argument('kind', choices=['icdar', 'ctw1500', 'totaltext', 'coco',
+                                    'synthtext', 'textocr'])
     p.add_argument('annotation', help='gt dir (or coco json)')
     p.add_argument('img_dir')
     p.add_argument('out_jsonl')
     args = p.parse_args()
     fn = {'icdar': convert_icdar, 'ctw1500': convert_ctw1500,
-          'totaltext': convert_totaltext, 'coco': convert_coco}[args.kind]
+          'totaltext': convert_totaltext, 'coco': convert_coco,
+          'synthtext': convert_synthtext,
+          'textocr': convert_textocr_det}[args.kind]
     records = fn(args.annotation, args.img_dir)
     with open(args.out_jsonl, 'w', encoding='utf-8') as f:
         for r in records:

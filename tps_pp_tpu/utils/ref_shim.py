@@ -187,18 +187,126 @@ def _install_mmcv_shim():
     layers = _module('timm.models.layers')
     layers.DropPath = DropPath
 
+    # ---- mmcv.cnn.bricks.transformer subset (ABINet uses
+    # BaseTransformerLayer with torch MultiheadAttention + FFN;
+    # param names kept mmcv-compatible: attentions.N.attn.*, ffns.N.layers.*,
+    # norms.N.*) ----
+    class _MMCVMultiheadAttention(nn.Module):
+        def __init__(self, embed_dims, num_heads, attn_drop=0.,
+                     proj_drop=0., dropout_layer=None, batch_first=False,
+                     **kwargs):
+            super().__init__()
+            self.attn = nn.MultiheadAttention(embed_dims, num_heads,
+                                              attn_drop)
+            self.proj_drop = nn.Dropout(proj_drop)
+            p = (dropout_layer or {}).get('drop_prob', 0.)
+            self.dropout_layer = nn.Dropout(p) if p else nn.Identity()
+
+        def forward(self, query, key=None, value=None, identity=None,
+                    attn_mask=None, key_padding_mask=None, **kwargs):
+            key = query if key is None else key
+            value = key if value is None else value
+            if identity is None:
+                identity = query
+            out = self.attn(query, key, value, attn_mask=attn_mask,
+                            key_padding_mask=key_padding_mask)[0]
+            return identity + self.dropout_layer(self.proj_drop(out))
+
+    class _MMCVFFN(nn.Module):
+        def __init__(self, embed_dims=256, feedforward_channels=1024,
+                     ffn_drop=0., **kwargs):
+            super().__init__()
+            self.layers = nn.Sequential(
+                nn.Sequential(nn.Linear(embed_dims, feedforward_channels),
+                              nn.ReLU(inplace=True), nn.Dropout(ffn_drop)),
+                nn.Linear(feedforward_channels, embed_dims),
+                nn.Dropout(ffn_drop))
+
+        def forward(self, x, identity=None):
+            if identity is None:
+                identity = x
+            return identity + self.layers(x)
+
+    class BaseTransformerLayer(BaseModule):
+        """Subset of mmcv's BaseTransformerLayer covering the ABINet
+        operation orders ('self_attn'|'cross_attn', 'norm', 'ffn', 'norm')."""
+
+        def __init__(self, attn_cfgs=None, ffn_cfgs=None,
+                     operation_order=None, norm_cfg=None, init_cfg=None,
+                     **kwargs):
+            super().__init__(init_cfg=init_cfg)
+            self.operation_order = operation_order
+            n_attn = sum(op in ('self_attn', 'cross_attn')
+                         for op in operation_order)
+            if isinstance(attn_cfgs, dict):
+                attn_cfgs = [attn_cfgs] * n_attn
+            self.attentions = nn.ModuleList([
+                _MMCVMultiheadAttention(**{k: v for k, v in a.items()
+                                           if k != 'type'})
+                for a in attn_cfgs])
+            n_norm = operation_order.count('norm')
+            dims = attn_cfgs[0]['embed_dims']
+            self.norms = nn.ModuleList(
+                [nn.LayerNorm(dims) for _ in range(n_norm)])
+            n_ffn = operation_order.count('ffn')
+            if isinstance(ffn_cfgs, dict):
+                ffn_cfgs = [ffn_cfgs] * n_ffn
+            self.ffns = nn.ModuleList([
+                _MMCVFFN(**{k: v for k, v in f.items() if k != 'type'})
+                for f in ffn_cfgs])
+
+        def forward(self, query, key=None, value=None, attn_masks=None,
+                    query_key_padding_mask=None, key_padding_mask=None,
+                    **kwargs):
+            a = n = f = 0
+            for op in self.operation_order:
+                if op == 'self_attn':
+                    query = self.attentions[a](
+                        query, query, query, attn_mask=attn_masks,
+                        key_padding_mask=query_key_padding_mask)
+                    a += 1
+                elif op == 'cross_attn':
+                    query = self.attentions[a](
+                        query, key, value, attn_mask=attn_masks,
+                        key_padding_mask=key_padding_mask)
+                    a += 1
+                elif op == 'norm':
+                    query = self.norms[n](query)
+                    n += 1
+                elif op == 'ffn':
+                    query = self.ffns[f](query)
+                    f += 1
+            return query
+
+    bricks = _module('mmcv.cnn.bricks.transformer')
+    bricks.BaseTransformerLayer = BaseTransformerLayer
+    bricks.FFN = _MMCVFFN
+    bricks.MultiheadAttention = _MMCVMultiheadAttention
+
 
 class _Registry:
-    """No-op stand-in for mmcv Registry: decorator returns class unchanged."""
+    """Recording stand-in for mmcv Registry: the decorator returns the
+    class unchanged but remembers it so builder.build_* can resolve
+    ``dict(type=...)`` configs (RobustScannerDecoder builds its
+    sub-decoders that way, robust_scanner_decoder.py:61-84)."""
+
+    def __init__(self):
+        self._modules = {}
 
     def register_module(self, *args, **kwargs):
         if args and isinstance(args[0], type):
+            self._modules[args[0].__name__] = args[0]
             return args[0]
 
         def deco(cls):
+            self._modules[cls.__name__] = cls
             return cls
 
         return deco
+
+    def build(self, cfg):
+        cfg = dict(cfg)
+        return self._modules[cfg.pop('type')](**cfg)
 
 
 def _install_mmocr_skeleton():
@@ -211,6 +319,9 @@ def _install_mmocr_skeleton():
         setattr(builder, reg, _Registry())
     from mmcv.cnn import build_activation_layer  # the shim installed above
     builder.build_activation_layer = build_activation_layer
+    builder.build_decoder = builder.DECODERS.build
+    builder.build_encoder = builder.ENCODERS.build
+    builder.build_loss = builder.LOSSES.build
 
     utils = _module('mmocr.utils')
 
@@ -304,12 +415,53 @@ def load_reference():
           'mmocr.models.textrecog.encoders.base_encoder')
     enc = _load('mmocr/models/textrecog/encoders/nrtr_encoder.py',
                 'mmocr.models.textrecog.encoders.nrtr_encoder')
+    sar_enc = _load('mmocr/models/textrecog/encoders/sar_encoder.py',
+                    'mmocr.models.textrecog.encoders.sar_encoder')
+    satrn_layers = _load('mmocr/models/textrecog/layers/satrn_layers.py',
+                         'mmocr.models.textrecog.layers.satrn_layers')
+    layers_pkg.Adaptive2DPositionalEncoding = \
+        satrn_layers.Adaptive2DPositionalEncoding
+    layers_pkg.SatrnEncoderLayer = satrn_layers.SatrnEncoderLayer
+    satrn_enc = _load('mmocr/models/textrecog/encoders/satrn_encoder.py',
+                      'mmocr.models.textrecog.encoders.satrn_encoder')
     _load('mmocr/models/textrecog/decoders/base_decoder.py',
           'mmocr.models.textrecog.decoders.base_decoder')
     dec = _load('mmocr/models/textrecog/decoders/nrtr_decoder.py',
                 'mmocr.models.textrecog.decoders.nrtr_decoder')
     crnn = _load('mmocr/models/textrecog/decoders/crnn_decoder.py',
                  'mmocr.models.textrecog.decoders.crnn_decoder')
+    sar_dec = _load('mmocr/models/textrecog/decoders/sar_decoder.py',
+                    'mmocr.models.textrecog.decoders.sar_decoder')
+    for extra in ('dot_product_attention_layer', 'position_aware_layer',
+                  'robust_scanner_fusion_layer'):
+        m = _load(f'mmocr/models/textrecog/layers/{extra}.py',
+                  f'mmocr.models.textrecog.layers.{extra}')
+        for name in dir(m):
+            if not name.startswith('_') and isinstance(getattr(m, name),
+                                                       type):
+                setattr(layers_pkg, name, getattr(m, name))
+    seq_dec = _load(
+        'mmocr/models/textrecog/decoders/sequence_attention_decoder.py',
+        'mmocr.models.textrecog.decoders.sequence_attention_decoder')
+    pos_dec = _load(
+        'mmocr/models/textrecog/decoders/position_attention_decoder.py',
+        'mmocr.models.textrecog.decoders.position_attention_decoder')
+    rs_dec = _load(
+        'mmocr/models/textrecog/decoders/robust_scanner_decoder.py',
+        'mmocr.models.textrecog.decoders.robust_scanner_decoder')
+    cre = _load(
+        'mmocr/models/textrecog/encoders/channel_reduction_encoder.py',
+        'mmocr.models.textrecog.encoders.channel_reduction_encoder')
+    abi_enc = _load('mmocr/models/textrecog/encoders/transformer.py',
+                    'mmocr.models.textrecog.encoders.transformer')
+    abi_vdec = _load(
+        'mmocr/models/textrecog/decoders/abinet_vision_decoder.py',
+        'mmocr.models.textrecog.decoders.abinet_vision_decoder')
+    abi_ldec = _load(
+        'mmocr/models/textrecog/decoders/abinet_language_decoder.py',
+        'mmocr.models.textrecog.decoders.abinet_language_decoder')
+    abi_fuser = _load('mmocr/models/textrecog/fusers/abi_fuser.py',
+                      'mmocr.models.textrecog.fusers.abi_fuser')
 
     ns = types.SimpleNamespace(
         TPS_PP=tps_pp.TPS_PP,
@@ -325,6 +477,17 @@ def load_reference():
         NRTRDecoder=dec.NRTRDecoder,
         CRNNDecoder=crnn.CRNNDecoder,
         BidirectionalLSTM=ll.BidirectionalLSTM,
+        SAREncoder=sar_enc.SAREncoder,
+        ParallelSARDecoder=sar_dec.ParallelSARDecoder,
+        SatrnEncoder=satrn_enc.SatrnEncoder,
+        SequenceAttentionDecoder=seq_dec.SequenceAttentionDecoder,
+        PositionAttentionDecoder=pos_dec.PositionAttentionDecoder,
+        RobustScannerDecoder=rs_dec.RobustScannerDecoder,
+        ChannelReductionEncoder=cre.ChannelReductionEncoder,
+        TransformerEncoder=abi_enc.TransformerEncoder,
+        ABIVisionDecoder=abi_vdec.ABIVisionDecoder,
+        ABILanguageDecoder=abi_ldec.ABILanguageDecoder,
+        ABIFuser=abi_fuser.ABIFuser,
     )
     _loaded = ns
     return ns

@@ -75,19 +75,40 @@ def convert_module(state_dict: Dict[str, np.ndarray], torch_prefix: str,
         out.append(('params', f'{flax_path}/bias', g('bias')))
     elif kind == 'embed':
         out.append(('params', f'{flax_path}/embedding', g('weight')))
-    elif kind in ('lstm', 'lstm_reverse'):
-        sfx = '_reverse' if kind == 'lstm_reverse' else ''
+    elif kind.startswith('lstm') and kind not in ('lstm_cell',):
+        # 'lstm' / 'lstm_reverse' / 'lstm_l{k}' / 'lstm_l{k}_reverse' —
+        # one direction of one layer of a torch nn.LSTM
+        sfx = '_reverse' if kind.endswith('_reverse') else ''
+        layer = 0
+        if '_l' in kind:
+            layer = int(kind.split('_l')[1].split('_')[0])
         out.append(('params', f'{flax_path}/weight_ih',
-                    g(f'weight_ih_l0{sfx}')))
+                    g(f'weight_ih_l{layer}{sfx}')))
         out.append(('params', f'{flax_path}/weight_hh',
-                    g(f'weight_hh_l0{sfx}')))
-        out.append(('params', f'{flax_path}/bias_ih', g(f'bias_ih_l0{sfx}')))
-        out.append(('params', f'{flax_path}/bias_hh', g(f'bias_hh_l0{sfx}')))
+                    g(f'weight_hh_l{layer}{sfx}')))
+        out.append(('params', f'{flax_path}/bias_ih',
+                    g(f'bias_ih_l{layer}{sfx}')))
+        out.append(('params', f'{flax_path}/bias_hh',
+                    g(f'bias_hh_l{layer}{sfx}')))
     elif kind == 'lstm_cell':
         out.append(('params', f'{flax_path}/weight_ih', g('weight_ih')))
         out.append(('params', f'{flax_path}/weight_hh', g('weight_hh')))
         out.append(('params', f'{flax_path}/bias_ih', g('bias_ih')))
         out.append(('params', f'{flax_path}/bias_hh', g('bias_hh')))
+    elif kind == 'torch_mha':
+        # torch nn.MultiheadAttention: packed in_proj (3E, E) rows [q;k;v]
+        # -> separate linear_q/k/v + fc (out_proj)
+        W = g('in_proj_weight')
+        b = g('in_proj_bias')
+        E = W.shape[1]
+        for i, nm in enumerate(('linear_q', 'linear_k', 'linear_v')):
+            out.append(('params', f'{flax_path}/{nm}/kernel',
+                        t_linear(W[i * E:(i + 1) * E])))
+            out.append(('params', f'{flax_path}/{nm}/bias',
+                        b[i * E:(i + 1) * E]))
+        out.append(('params', f'{flax_path}/fc/kernel',
+                    t_linear(g('out_proj.weight'))))
+        out.append(('params', f'{flax_path}/fc/bias', g('out_proj.bias')))
     elif kind == 'raw':
         out.append(('params', flax_path, g('')))
     else:
@@ -304,6 +325,151 @@ def nrtr_tps_pp_rules(n_enc=6, n_dec=6, arch=(3, 4, 6, 6, 3)):
     return rules
 
 
+def sar_rules(n_layers=2):
+    """SAREncoder (reference sar_encoder.py:53-69 rnn_encoder + linear) +
+    ParallelSARDecoder (sar_decoder.py:27-135 conv1x1_1/conv3x3_1/conv1x1_2/
+    rnn_decoder/embedding/prediction)."""
+    rules = []
+    for i in range(n_layers):
+        rules.append(('encoder.rnn_encoder', f'encoder/rnn{i}_fwd',
+                      f'lstm_l{i}' if i else 'lstm'))
+    rules.append(('encoder.linear', 'encoder/linear', 'linear'))
+    rules += [
+        ('decoder.conv1x1_1', 'decoder/conv1x1_1', 'linear'),
+        ('decoder.conv3x3_1', 'decoder/conv3x3_1', 'conv'),
+        ('decoder.conv1x1_2', 'decoder/conv1x1_2', 'linear'),
+        ('decoder.rnn_decoder', 'decoder/rnn0', 'lstm'),
+        ('decoder.rnn_decoder', 'decoder/rnn1', 'lstm_l1'),
+        ('decoder.embedding', 'decoder/embedding', 'embed'),
+        ('decoder.prediction', 'decoder/prediction', 'linear'),
+    ]
+    return rules
+
+
+def satrn_rules(n_layers=12, prefix='encoder', fp='encoder'):
+    """SatrnEncoder (reference satrn_encoder.py:13-85 + satrn_layers.py:
+    Adaptive2DPositionalEncoding scale convs, SatrnEncoderLayer attn +
+    LocalityAwareFeedforward ConvModules)."""
+    pe = f'{prefix}.position_enc'
+    rules = [
+        (f'{pe}.h_scale.0', f'{fp}/position_enc/h_scale_0', 'conv'),
+        (f'{pe}.h_scale.2', f'{fp}/position_enc/h_scale_1', 'conv'),
+        (f'{pe}.w_scale.0', f'{fp}/position_enc/w_scale_0', 'conv'),
+        (f'{pe}.w_scale.2', f'{fp}/position_enc/w_scale_1', 'conv'),
+    ]
+    for i in range(n_layers):
+        tp, lp = f'{prefix}.layer_stack.{i}', f'{fp}/layer{i}'
+        rules += [
+            (f'{tp}.norm1', f'{lp}/norm1', 'ln'),
+            (f'{tp}.norm2', f'{lp}/norm2', 'ln'),
+            (f'{tp}.attn.linear_q', f'{lp}/attn/linear_q', 'linear_nobias'),
+            (f'{tp}.attn.linear_k', f'{lp}/attn/linear_k', 'linear_nobias'),
+            (f'{tp}.attn.linear_v', f'{lp}/attn/linear_v', 'linear_nobias'),
+            (f'{tp}.attn.fc', f'{lp}/attn/fc', 'linear_nobias'),
+            (f'{tp}.feed_forward.conv1.conv', f'{lp}/feed_forward/conv1/conv',
+             'conv_nobias'),
+            (f'{tp}.feed_forward.conv1.bn', f'{lp}/feed_forward/conv1/bn',
+             'bn'),
+            (f'{tp}.feed_forward.depthwise_conv.conv',
+             f'{lp}/feed_forward/depthwise_conv', 'conv_nobias'),
+            (f'{tp}.feed_forward.depthwise_conv.bn',
+             f'{lp}/feed_forward/depthwise_bn', 'bn'),
+            (f'{tp}.feed_forward.conv2.conv', f'{lp}/feed_forward/conv2/conv',
+             'conv_nobias'),
+            (f'{tp}.feed_forward.conv2.bn', f'{lp}/feed_forward/conv2/bn',
+             'bn'),
+        ]
+    rules.append((f'{prefix}.layer_norm', f'{fp}/layer_norm', 'ln'))
+    return rules
+
+
+def robust_scanner_rules(rnn_layers=2):
+    """ChannelReductionEncoder + RobustScannerDecoder (reference
+    channel_reduction_encoder.py:24, sequence_attention_decoder.py:69-85,
+    position_attention_decoder.py:62-73, robust_scanner_decoder.py:75-93,
+    position_aware_layer.py:12-24, robust_scanner_fusion_layer.py:15)."""
+    rules = [('encoder.layer', 'encoder/layer', 'conv')]
+    hd = 'decoder.hybrid_decoder'
+    rules.append((f'{hd}.embedding', 'decoder/hybrid/embedding', 'embed'))
+    for i in range(rnn_layers):
+        rules.append((f'{hd}.sequence_layer', f'decoder/hybrid/rnns_{i}',
+                      f'lstm_l{i}' if i else 'lstm'))
+    pd = 'decoder.position_decoder'
+    rules.append((f'{pd}.embedding', 'decoder/position/embedding', 'embed'))
+    for i in range(rnn_layers):
+        rules.append(
+            (f'{pd}.position_aware_module.rnn',
+             f'decoder/position/position_aware_module/rnn{i}',
+             f'lstm_l{i}' if i else 'lstm'))
+    rules += [
+        (f'{pd}.position_aware_module.mixer.0',
+         'decoder/position/position_aware_module/mixer0', 'conv'),
+        (f'{pd}.position_aware_module.mixer.2',
+         'decoder/position/position_aware_module/mixer1', 'conv'),
+        ('decoder.fusion_module.linear_layer',
+         'decoder/fusion_module/linear_layer', 'linear'),
+        ('decoder.prediction', 'decoder/prediction', 'linear'),
+    ]
+    return rules
+
+
+def _mmcv_btl_rules(tp, fp):
+    """One mmcv BaseTransformerLayer ('*_attn','norm','ffn','norm') ->
+    our post-norm layer params (attn via torch_mha, ffns.0.layers...)."""
+    return [
+        (f'{tp}.attentions.0.attn', f'{fp}@attn', 'torch_mha'),
+        (f'{tp}.norms.0', f'{fp}@norm1', 'ln'),
+        (f'{tp}.norms.1', f'{fp}@norm2', 'ln'),
+        (f'{tp}.ffns.0.layers.0.0', f'{fp}@ffn1', 'linear'),
+        (f'{tp}.ffns.0.layers.1', f'{fp}@ffn2', 'linear'),
+    ]
+
+
+def abinet_rules(n_enc_layers=3, n_lang_layers=4):
+    """ABINet: TransformerEncoder (reference encoders/transformer.py:12-82)
+    + ABIVisionDecoder (abinet_vision_decoder.py) + ABILanguageDecoder
+    (abinet_language_decoder.py) + ABIFuser (abi_fuser.py)."""
+    rules = []
+    for i in range(n_enc_layers):
+        for tp, fp, kind in _mmcv_btl_rules(f'encoder.transformer.{i}',
+                                            f'encoder/layer{i}'):
+            fp = (fp.replace('@attn', '/attn')
+                  .replace('@norm1', '/norm1').replace('@norm2', '/norm2')
+                  .replace('@ffn1', '/ffn_fc1').replace('@ffn2', '/ffn_fc2'))
+            rules.append((tp, fp, kind))
+    # vision decoder mini-UNet + projections
+    for i in range(4):
+        rules += [
+            (f'vision.k_encoder.{i}.conv', f'vision/k_enc{i}/conv',
+             'conv_nobias'),
+            (f'vision.k_encoder.{i}.bn', f'vision/k_enc{i}/bn', 'bn'),
+            (f'vision.k_decoder.{i}.1.conv', f'vision/k_dec{i}/conv',
+             'conv_nobias'),
+            (f'vision.k_decoder.{i}.1.bn', f'vision/k_dec{i}/bn', 'bn'),
+        ]
+    rules += [
+        ('vision.project', 'vision/project', 'linear'),
+        ('vision.cls', 'vision/cls', 'linear'),
+    ]
+    # language decoder
+    rules.append(('language.proj', 'language/proj', 'linear_nobias'))
+    for i in range(n_lang_layers):
+        for tp, fp, kind in _mmcv_btl_rules(f'language.decoder_layers.{i}',
+                                            f'language'):
+            fp = (fp.replace('@attn', f'/cross{i}')
+                  .replace('@norm1', f'/norm{i}_1')
+                  .replace('@norm2', f'/norm{i}_2')
+                  .replace('@ffn1', f'/ffn{i}_fc1')
+                  .replace('@ffn2', f'/ffn{i}_fc2'))
+            rules.append((tp, fp, kind))
+    rules.append(('language.cls', 'language/cls', 'linear'))
+    rules += [
+        ('fuser.w_att', 'fuser/w_att', 'linear'),
+        ('fuser.cls', 'fuser/cls', 'linear'),
+    ]
+    return rules
+
+
 def filter_rules_to_state(rules, state_dict):
     """Drop rules whose torch keys are absent (e.g. downsample-less
     blocks)."""
@@ -315,7 +481,10 @@ def filter_rules_to_state(rules, state_dict):
                  'linear': 'weight', 'linear_nobias': 'weight',
                  'bn': 'weight', 'ln': 'weight', 'embed': 'weight',
                  'lstm': 'weight_ih_l0', 'lstm_reverse': 'weight_ih_l0_reverse',
-                 'lstm_cell': 'weight_ih', 'raw': ''}[kind]
+                 'lstm_l1': 'weight_ih_l1',
+                 'lstm_l1_reverse': 'weight_ih_l1_reverse',
+                 'lstm_cell': 'weight_ih', 'torch_mha': 'in_proj_weight',
+                 'raw': ''}[kind]
         key = f'{tp}.{probe}' if probe else tp
         if key in state_dict:
             kept.append((tp, fp, kind))
