@@ -33,6 +33,37 @@ def main():
     from tps_pp_tpu.datasets import build_dataset
 
     cfg = load_config(args.config)
+
+    from tps_pp_tpu.apis.train_det import DET_TYPES
+    if cfg['model'].get('type') in DET_TYPES:
+        # detection eval: detect every test image, score with hmean
+        # (reference runs det configs through the same tools/test.py)
+        from tps_pp_tpu.apis.detector import TextDetector
+        from tps_pp_tpu.datasets import TextDetDataset
+        d = dict(cfg['data']['test']) if 'data' in cfg else {}
+        d.pop('type', None)
+        d['test_mode'] = True
+        ds = TextDetDataset(**d)
+        det = TextDetector(cfg['model'],
+                           img_size=tuple(cfg.get('det_img_size',
+                                                  (640, 640))),
+                           checkpoint=args.checkpoint)
+        preds = []
+        for i in range(len(ds)):
+            item = ds[i]
+            img = (item['img'] * 255).astype('uint8')
+            preds.append(det.detect(img))
+        metric = 'hmean-iou' if args.eval in ('acc', 'hmean-iou') \
+            else args.eval
+        metrics = ds.evaluate(preds, metric=metric)
+        print(json.dumps(metrics, indent=2))
+        if args.out:
+            with open(args.out, 'w') as f:
+                json.dump({'metrics': metrics,
+                           'results': [[b.tolist() for b in p]
+                                       for p in preds]}, f, indent=2)
+        return
+
     rec, variables = init_recognizer(cfg, args.checkpoint)
     test_ds = build_dataset(cfg['data']['test'], dict(test_mode=True))
     batch = args.batch_size or cfg['data'].get('samples_per_gpu', 64)
