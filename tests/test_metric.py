@@ -22,3 +22,23 @@ def test_full_metrics():
 def test_symbol_stripping_keeps_cjk():
     res = eval_ocr_metric(['中文!'], ['中文?'])
     assert res['word_acc_ignore_case_symbol'] == 1.0
+
+
+def test_hmean_ic13():
+    """IC13 protocol: one-to-one match on area recall/precision thresholds
+    (reference core/evaluation/hmean_ic13.py)."""
+    import numpy as np
+    from tps_pp_tpu.evaluation.hmean_ic13 import eval_hmean_ic13
+    gt = [np.array([10, 10, 50, 10, 50, 30, 10, 30], np.float32)]
+    good = [np.array([11, 11, 49, 11, 49, 29, 11, 29, 0.9], np.float32)]
+    bad = [np.array([100, 100, 120, 100, 120, 120, 100, 120, 0.9],
+                    np.float32)]
+    res = eval_hmean_ic13([good], [gt])
+    assert res['hmean'] > 0.9
+    res = eval_hmean_ic13([bad], [gt])
+    assert res['hmean'] == 0.0
+    # one-to-many: two half-boxes together cover the gt
+    halves = [np.array([10, 10, 30, 10, 30, 30, 10, 30, 0.9], np.float32),
+              np.array([30, 10, 50, 10, 50, 30, 30, 30, 0.9], np.float32)]
+    res = eval_hmean_ic13([halves], [gt])
+    assert res['recall'] > 0.5

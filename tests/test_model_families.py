@@ -173,3 +173,32 @@ def test_sar_beam_search():
     idx_b1, _ = rec.label_convertor.tensor2idx(np.asarray(out_b1))
     assert rec.label_convertor.idx2str(idx_b1) == \
         [r['text'] for r in res_greedy]
+
+
+def test_tf_common_decoder_recognizer():
+    """TFCommonDecoder as a recognizer decoder (NAR positional queries)."""
+    from tps_pp_tpu.apis.recognizer import build_recognizer
+    cfg = dict(
+        type='EncodeDecodeRecognizer',
+        label_convertor=dict(type='AttnConvertor', dict_type='DICT36',
+                             with_unknown=True),
+        backbone=dict(type='ResNetABI', in_channels=3, stem_channels=8,
+                      base_channels=8, arch_settings=[1, 1, 1, 1, 1],
+                      strides=[2, 1, 2, 1, 1]),
+        decoder=dict(type='TFCommonDecoder', n_layers=1, max_seq_len=8,
+                     d_model=128, d_inner=256, n_head=4, d_k=32, d_v=32),
+        loss=dict(type='CELoss'),
+        max_seq_len=8,
+        dtype='float32',
+    )
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    rec = build_recognizer(cfg)
+    v = rec.init_variables(jax.random.PRNGKey(0), (2, 32, 64, 3))
+    img = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 32, 64, 3)), jnp.float32)
+    out = rec.predict(v, img)
+    assert out.shape[0] == 2 and out.shape[1] == 8
+    res = rec.simple_test(v, img)
+    assert len(res) == 2 and isinstance(res[0]['text'], str)

@@ -77,6 +77,7 @@ class TextRecognizer:
         # stop the decode loop once every row emitted EOS (semantics
         # preserved — the codec ignores everything after the first EOS)
         self.early_exit = bool(cfg.get('early_exit', True))
+        self.beam_length_norm = bool(cfg.get('beam_length_norm', False))
         # 'fused40': whole greedy decode in one pallas kernel
         # (ops/pallas_full_decode.py) — the large-batch serving path;
         # 'steps' (default): XLA KV-cached loop with early exit
@@ -141,7 +142,9 @@ class TextRecognizer:
                     decoder_apply, feat, out_enc, valid_ratio,
                     max_seq_len=self.max_seq_len,
                     start_idx=self.label_convertor.start_idx,
-                    beam_width=self.beam_width)
+                    beam_width=self.beam_width,
+                    length_norm=bool(getattr(self, 'beam_length_norm',
+                                             False)))
             return greedy_decode(
                 decoder_apply, feat, out_enc, valid_ratio,
                 max_seq_len=self.max_seq_len,

@@ -100,7 +100,8 @@ def greedy_decode(apply_method, feat, out_enc, valid_ratio, *,
 
 
 def beam_decode(apply_method, feat, out_enc, valid_ratio, *,
-                max_seq_len: int, start_idx: int, beam_width: int = 5):
+                max_seq_len: int, start_idx: int, beam_width: int = 5,
+                length_norm: bool = False):
     """Vectorized beam search over the decode_init/decode_step protocol.
 
     Faithful to the reference's criterion (``sar_decoder_with_bs.py``):
@@ -150,7 +151,9 @@ def beam_decode(apply_method, feat, out_enc, valid_ratio, *,
         C = probs.shape[-1]
         cand = beam_scores[:, :, None] + probs.reshape(N, W, C)
         flat = cand.reshape(N, W * C)
-        top_v, top_i = jax.lax.top_k(flat, W)               # (N, W)
+        rank = flat / (t + 1.0) if length_norm else flat
+        top_i = jax.lax.top_k(rank, W)[1]                   # (N, W)
+        top_v = jnp.take_along_axis(flat, top_i, axis=1)
         parent = top_i // C
         token = (top_i % C).astype(jnp.int32)
         step_score = jnp.take_along_axis(
