@@ -262,7 +262,7 @@ class TPS_PP(nn.Module):
     #             intermediate in HBM: fine at small batch, OOM at scale);
     # 'gather'  — jnp gathers (reference-faithful fallback, any backend)
     sample_mode: str = 'gather'
-    pallas_tile: int = 128
+    pallas_tile: int = 1024
     dtype: Dtype = jnp.float32
 
     def setup(self):

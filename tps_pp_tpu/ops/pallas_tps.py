@@ -67,9 +67,15 @@ def _kernel(cp_ref, score_ref, fg_ref, img_ref, inv_ref, phat_ref, p_ref,
         w_idx = (kk % W).astype(jnp.float32)
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(gy[:, None] - h_idx))
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(gx[:, None] - w_idx))
-        w2 = wy * wx                                  # (TILE, H*W)
-        src = src_ref[0].astype(jnp.float32)          # (H*W, C)
-        out = jnp.dot(w2, src, preferred_element_type=jnp.float32)
+        # the dense interpolation matrix is the kernel's VMEM hot spot —
+        # match its precision to the feature dtype: bf16 features (the
+        # serving path) take bf16 weights into the MXU with f32
+        # accumulation (weights live in [0,1], 4 effective terms per
+        # output — drift ~1e-2 absolute, under the bf16 feature noise
+        # already present); f32 features keep the exact f32 path.
+        w2 = (wy * wx).astype(src_ref.dtype)          # (TILE, H*W)
+        out = jnp.dot(w2, src_ref[0],
+                      preferred_element_type=jnp.float32)
         out_ref[0] = out.astype(out_ref.dtype)
 
     sample(fg_ref, Hg, Wg, rect_ref)
