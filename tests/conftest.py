@@ -10,12 +10,8 @@ import sys
 # would silently leave the suite on the TPU tunnel)
 os.environ['JAX_PLATFORMS'] = 'cpu'
 os.environ['JAX_PLATFORM_NAME'] = 'cpu'
-# XLA compiles are slow on this host; persist them across pytest runs
 _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), '.jax_cache')
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', _cache_dir)
-os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0')
-os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '0')
 _flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (
@@ -32,5 +28,11 @@ import jax  # noqa: E402
 # the config API reliably selects the CPU backend here
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_default_matmul_precision', 'highest')
+# this jax build ignores JAX_COMPILATION_CACHE_DIR (like JAX_PLATFORMS);
+# the config API is the only way to enable the persistent compile cache,
+# which makes repeat suite runs warm.
+jax.config.update('jax_compilation_cache_dir', _cache_dir)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 assert len(jax.devices()) == 8, (
     f'expected 8 virtual CPU devices, got {jax.devices()}')
