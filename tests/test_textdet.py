@@ -419,9 +419,30 @@ def test_drrg_train_and_detect_path():
     p2 = np.array([8, 44, 48, 44, 48, 58, 8, 58], np.float32)
     t = tg.generate([p1, p2], [], 64, 64)
     assert t['gt_comp_attribs'].shape[1] == 7
-    assert len(t['gt_comp_attribs']) >= 4
-    assert set(np.unique(t['gt_comp_attribs'][:, 6])) <= {1.0, 2.0}
+    assert len(t['gt_comp_attribs']) >= tg.num_min_comps
+    assert set(np.unique(t['gt_comp_attribs'][:, 6])) <= {0.0, 1.0, 2.0}
     assert t['gt_top_height_map'].max() > 2
+    # cos/sin stay unit-norm after jitter
+    cs = t['gt_comp_attribs'][:, 4:6]
+    np.testing.assert_allclose((cs ** 2).sum(1), 1.0, atol=1e-3)
+
+    # jitter perturbs geometry but never labels (reference
+    # drrg_targets.py:320-369)
+    np.random.seed(3)
+    tg0 = DRRGTargets(jitter_level=0.0)
+    base = tg0.generate([p1, p2], [], 64, 64)['gt_comp_attribs']
+    np.random.seed(3)
+    jit = tg.generate([p1, p2], [], 64, 64)['gt_comp_attribs']
+    gt_n = min(len(base), len(jit))
+    assert np.abs(jit[:gt_n, :4] - base[:gt_n, :4]).max() > 0.05
+    np.testing.assert_array_equal(jit[:gt_n, 6], base[:gt_n, 6])
+
+    # a single tiny word yields < num_min_comps gt comps -> random label-0
+    # top-up outside the text region (reference drrg_targets.py:238-318, 464)
+    small = tg.generate([np.array([24, 28, 44, 28, 44, 40, 24, 40],
+                                  np.float32)], [], 64, 64)['gt_comp_attribs']
+    assert len(small) == tg.num_min_comps
+    assert (small[:, 6] == 0).any()
 
     det = DRRGDetector(DRRGHead(in_channels=8))
     feats = jnp.asarray(np.random.default_rng(0).standard_normal(
@@ -558,6 +579,105 @@ def test_train_detector_api(tmp_path):
                                         work_dir=str(tmp_path / 'wd'))
     assert len(history) == 2 and all(np.isfinite(history))
     assert (tmp_path / 'wd' / 'epoch_2.npz').exists()
+
+
+def test_roi_align_jax_matches_np_and_differentiates():
+    """roi_align_jax is the differentiable twin of roi_align_np."""
+    from tps_pp_tpu.models.textdet import roi_align_jax
+    from tps_pp_tpu.models.textdet.maskrcnn import roi_align_np
+    rng = np.random.default_rng(0)
+    feat = rng.standard_normal((16, 20, 3)).astype(np.float32)
+    boxes = np.array([[2.0, 3.0, 10.0, 9.0], [0.0, 0.0, 19.0, 15.0],
+                      [5.5, 4.5, 8.0, 12.0]], np.float32)
+    ref = roi_align_np(feat, boxes, (7, 7))
+    out = np.asarray(roi_align_jax(jnp.asarray(feat), jnp.asarray(boxes),
+                                   (7, 7)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    # gradients reach the feature map
+    g = jax.grad(lambda f: roi_align_jax(f, jnp.asarray(boxes),
+                                         (7, 7)).sum())(jnp.asarray(feat))
+    assert float(jnp.abs(g).sum()) > 0
+
+
+@pytest.mark.heavy
+def test_train_maskrcnn_two_stage(tmp_path):
+    """OCRMaskRCNN end-to-end train loop: rpn + box + mask losses through
+    the train_detector dispatch."""
+    import cv2
+    import json
+    from tps_pp_tpu.apis.train_det import train_detector
+    from tps_pp_tpu.config import ConfigDict
+    from tps_pp_tpu.datasets import TextDetDataset
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    cv2.rectangle(img, (8, 8), (40, 24), (255, 255, 255), -1)
+    cv2.imwrite(str(tmp_path / 'a.jpg'), img)
+    ann = {'file_name': 'a.jpg', 'annotations': [
+        {'polygon': [8, 8, 40, 8, 40, 24, 8, 24]}]}
+    (tmp_path / 'det.jsonl').write_text('\n'.join([json.dumps(ann)] * 2))
+
+    cfg = ConfigDict._wrap({
+        'model': {
+            'type': 'OCRMaskRCNN',
+            'backbone': dict(type='ResNetDet', stage_blocks=[1, 1, 1, 1],
+                             base_channels=8),
+            'neck': dict(type='FPNDet', in_channels=[8, 16, 32, 64],
+                         out_channels=16),
+            'rpn_head': dict(type='RPNHead', feat_channels=16),
+            'box_head': dict(fc_out=32),
+            'mask_head': dict(channels=8),
+            'num_train_rois': 16,
+        },
+        'optimizer': dict(type='SGD', lr=1e-3),
+        'total_epochs': 1,
+    })
+    ds = TextDetDataset(str(tmp_path / 'det.jsonl'),
+                        img_prefix=str(tmp_path), img_size=(64, 64),
+                        test_mode=True)
+    variables, history = train_detector(cfg, ds,
+                                        work_dir=str(tmp_path / 'wd'))
+    assert len(history) == 1 and np.isfinite(history[0])
+    assert set(variables['params']) == {'main', 'box', 'mask'}
+    assert (tmp_path / 'wd' / 'epoch_1.npz').exists()
+
+
+@pytest.mark.heavy
+def test_train_drrg_api(tmp_path):
+    """DRRG train loop: map losses + GCN link loss through train_detector."""
+    import cv2
+    import json
+    from tps_pp_tpu.apis.train_det import train_detector
+    from tps_pp_tpu.config import ConfigDict
+    from tps_pp_tpu.datasets import TextDetDataset
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    cv2.rectangle(img, (8, 20), (56, 36), (255, 255, 255), -1)
+    cv2.imwrite(str(tmp_path / 'a.jpg'), img)
+    ann = {'file_name': 'a.jpg', 'annotations': [
+        {'polygon': [8, 20, 56, 20, 56, 36, 8, 36]},
+        {'polygon': [8, 44, 48, 44, 48, 58, 8, 58]}]}
+    (tmp_path / 'det.jsonl').write_text('\n'.join([json.dumps(ann)] * 2))
+
+    cfg = ConfigDict._wrap({
+        'model': {
+            'type': 'DRRG',
+            'backbone': dict(type='ResNetDet', stage_blocks=[1, 1, 1, 1],
+                             base_channels=8),
+            'neck': dict(type='FPN_UNet', in_channels=[8, 16, 32, 64],
+                         out_channels=8),
+            'targets': dict(type='DRRGTargets'),
+        },
+        'optimizer': dict(type='Adam', lr=1e-3),
+        'total_epochs': 1,
+    })
+    ds = TextDetDataset(str(tmp_path / 'det.jsonl'),
+                        img_prefix=str(tmp_path), img_size=(64, 64),
+                        test_mode=True)
+    variables, history = train_detector(cfg, ds,
+                                        work_dir=str(tmp_path / 'wd'))
+    assert len(history) == 1 and np.isfinite(history[0])
+    assert set(variables['params']) == {'net', 'gcn'}
+    assert (tmp_path / 'wd' / 'epoch_1.npz').exists()
 
 
 def test_db_quad_unclip_geometry():

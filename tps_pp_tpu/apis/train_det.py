@@ -74,6 +74,12 @@ def train_detector(cfg: ConfigDict, train_ds, work_dir: Optional[str] = None,
 
     model_cfg = cfg['model']
     det_type = model_cfg.get('type', 'DBNet')
+    if det_type == 'OCRMaskRCNN':
+        return _train_maskrcnn(cfg, train_ds, work_dir, total_epochs,
+                               log_interval, seed)
+    if det_type == 'DRRG':
+        return _train_drrg(cfg, train_ds, work_dir, total_epochs,
+                           log_interval, seed)
     module = build_detector_module(model_cfg)
     loss_cfg = dict(model_cfg.get('loss') or
                     {'type': f'{det_type}Loss'})
@@ -163,3 +169,222 @@ def train_detector(cfg: ConfigDict, train_ds, work_dir: Optional[str] = None,
             save_variables(os.path.join(work_dir, f'epoch_{epoch + 1}.npz'),
                            {'params': params, **state})
     return {'params': params, **state}, history
+
+
+def _make_optimizer(cfg):
+    import optax
+    opt_cfg = dict(cfg.get('optimizer') or {'type': 'Adam', 'lr': 1e-3})
+    lr = opt_cfg.get('lr', 1e-3)
+    return (optax.sgd(lr, momentum=opt_cfg.get('momentum', 0.9))
+            if opt_cfg.get('type') == 'SGD' else optax.adam(lr))
+
+
+def _poly_boxes_masks(polys, h, w):
+    """gt polygons -> axis-aligned boxes + instance bitmasks (the mmdet
+    gt_bboxes/gt_masks inputs of the reference OCRMaskRCNN train path)."""
+    import cv2
+    boxes, masks = [], []
+    for p in polys:
+        pts = np.asarray(p, np.float32).reshape(-1, 2)
+        if len(pts) < 3:
+            continue
+        boxes.append([pts[:, 0].min(), pts[:, 1].min(),
+                      pts[:, 0].max(), pts[:, 1].max()])
+        m = np.zeros((h, w), np.uint8)
+        cv2.fillPoly(m, [pts.astype(np.int32)], 1)
+        masks.append(m)
+    return np.asarray(boxes, np.float32).reshape(-1, 4), masks
+
+
+def _train_maskrcnn(cfg, train_ds, work_dir, total_epochs, log_interval,
+                    seed):
+    """OCRMaskRCNN two-stage training (reference OCRMaskRCNN ==
+    mmdet MaskRCNN.forward_train): per image, host-side anchor targets +
+    proposal sampling around the current RPN, then one jitted
+    rpn+box+mask loss/grad/update step with differentiable RoIAlign."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from ..models import textdet as td
+
+    model_cfg = cfg['model']
+
+    def _head(cfg_key, cls, **defaults):
+        c = dict(model_cfg.get(cfg_key) or {})
+        c.pop('type', None)
+        return cls(**{**defaults, **c})
+
+    module = td.MaskRCNNModule(
+        backbone=_build(BACKBONES, model_cfg['backbone']),
+        neck=_build(NECKS, model_cfg['neck']),
+        rpn_head=_head('rpn_head', td.RPNHead),
+        box_head=_head('box_head', td.BoxHead),
+        mask_head=_head('mask_head', td.MaskHead))
+    det = td.MaskRCNNDetector(
+        module, num_train_rois=model_cfg.get('num_train_rois', 64),
+        text_repr_type=model_cfg.get('text_repr_type', 'quad'))
+
+    H, W = train_ds[0]['img'].shape[:2]
+    variables = det.init_variables(jax.random.PRNGKey(seed), (1, H, W, 3))
+    params = {'main': variables['main']['params'],
+              'box': variables['box']['params'],
+              'mask': variables['mask']['params']}
+    bstats = {k: v for k, v in variables['main'].items() if k != 'params'}
+    tx = _make_optimizer(cfg)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, bstats, opt_state, img, batch):
+        def f(p):
+            v = {'main': {'params': p['main'], **bstats},
+                 'box': {'params': p['box']},
+                 'mask': {'params': p['mask']}}
+            losses, new_state = det.train_losses(v, img, batch)
+            return (sum(jnp.asarray(x) for x in losses.values()),
+                    (losses, new_state))
+        (loss, (losses, new_state)), grads = jax.value_and_grad(
+            f, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_state, opt_state,
+                loss, losses)
+
+    rng = np.random.default_rng(seed)
+    epochs = total_epochs or cfg.get('total_epochs') or 1
+    history = []
+    for epoch in range(epochs):
+        t0 = time.time()
+        loss = float('nan')
+        for it, i in enumerate(rng.permutation(len(train_ds))):
+            item = train_ds[int(i)]
+            img_np = np.asarray(item['img'], np.float32)[None]
+            gt_boxes, gt_masks = _poly_boxes_masks(
+                item.get('gt_polygons', []), *img_np.shape[1:3])
+            v = {'main': {'params': params['main'], **bstats},
+                 'box': {'params': params['box']},
+                 'mask': {'params': params['mask']}}
+            batch = det.sample_train_batch(v, img_np, gt_boxes, gt_masks,
+                                           rng=rng)
+            if batch is None:
+                continue
+            batch = {k: jnp.asarray(val) for k, val in batch.items()}
+            params, new_state, opt_state, loss, losses = step(
+                params, bstats, opt_state, jnp.asarray(img_np), batch)
+            bstats = new_state if new_state else bstats
+            if it % log_interval == 0:
+                logger.info('epoch %d iter %d loss %.4f', epoch, it,
+                            float(loss))
+        history.append(float(loss))
+        logger.info('epoch %d done in %.1fs loss %.4f', epoch,
+                    time.time() - t0, history[-1])
+        if work_dir:
+            from ..utils.checkpoint import save_variables
+            os.makedirs(work_dir, exist_ok=True)
+            save_variables(os.path.join(work_dir, f'epoch_{epoch + 1}.npz'),
+                           {'params': params, **bstats})
+    return {'params': params, **bstats}, history
+
+
+def _train_drrg(cfg, train_ds, work_dir, total_epochs, log_interval, seed):
+    """DRRG training (reference drrg.py forward_train + drrg_head.py): map
+    losses backprop through head/neck/backbone; the GCN trains on node
+    features built host-side from the current feature map (our rotated
+    RoIAlign is host numpy, so the GCN branch does not push gradients into
+    the backbone — the map losses do, as in a stop-gradient'd reference)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from ..models import textdet as td
+
+    model_cfg = cfg['model']
+    neck_out = dict(model_cfg['neck']).get('out_channels', 32)
+
+    class _DRRGNet(nn.Module):
+        backbone: object
+        neck: object
+        head: object
+
+        @nn.compact
+        def __call__(self, img, train=False):
+            feats = self.backbone(img, train=train)
+            f = self.neck(feats, train=train)
+            return f, self.head(f, train=train)
+
+    net = _DRRGNet(backbone=_build(BACKBONES, model_cfg['backbone']),
+                   neck=_build(NECKS, model_cfg['neck']),
+                   head=td.DRRGHead(in_channels=neck_out))
+    det = td.DRRGDetector(td.DRRGHead(in_channels=neck_out))
+    targets = build_det_targets(model_cfg)
+    loss_fn = td.DRRGLoss()
+
+    H, W = train_ds[0]['img'].shape[:2]
+    net_vars = net.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, H, W, 3), jnp.float32))
+    nfl = det.node_feat_len(neck_out)
+    gcn_vars = det.gcn.init(jax.random.PRNGKey(seed + 1),
+                            jnp.zeros((1, 4, nfl), jnp.float32),
+                            jnp.zeros((1, 4, 4), jnp.float32),
+                            jnp.zeros((1, 2), jnp.int32))
+    params = {'net': net_vars['params'], 'gcn': gcn_vars['params']}
+    bstats = {k: v for k, v in net_vars.items() if k != 'params'}
+    tx = _make_optimizer(cfg)
+    opt_state = tx.init(params)
+
+    fwd = jax.jit(lambda p, b, img: net.apply({'params': p, **b}, img))
+
+    def step(params, bstats, opt_state, img, tgt, node_feats, adjs, knns,
+             links):
+        # node counts vary per image -> jit would recompile per shape; the
+        # graphs are small, so this stays un-jitted python + jitted net fwd
+        def f(p):
+            (_, pred_maps), new_state = net.apply(
+                {'params': p['net'], **bstats}, img, train=True,
+                mutable=['batch_stats'])
+            gcn_pred = det.gcn.apply({'params': p['gcn']}, node_feats,
+                                     adjs, knns)
+            losses = loss_fn(pred_maps, tgt, gcn_pred, links)
+            return (sum(jnp.asarray(x) for x in losses.values()),
+                    (losses, new_state))
+        (loss, (losses, new_state)), grads = jax.value_and_grad(
+            f, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_state, opt_state,
+                loss, losses)
+
+    rng = np.random.default_rng(seed)
+    epochs = total_epochs or cfg.get('total_epochs') or 1
+    history = []
+    tgt_keys = ('gt_text_mask', 'gt_center_region_mask', 'gt_mask',
+                'gt_top_height_map', 'gt_bot_height_map', 'gt_sin_map',
+                'gt_cos_map')
+    for epoch in range(epochs):
+        t0 = time.time()
+        loss = float('nan')
+        for it, i in enumerate(rng.permutation(len(train_ds))):
+            item = train_ds[int(i)]
+            if 'gt_comp_attribs' not in item:
+                item = targets(item)
+            img = jnp.asarray(np.asarray(item['img'], np.float32)[None])
+            tgt = {k: jnp.asarray(np.asarray(item[k]))[None]
+                   for k in tgt_keys}
+            feats, pred_maps = fwd(params['net'], bstats, img)
+            feat_cat = np.concatenate([np.asarray(feats),
+                                       np.asarray(pred_maps)], axis=-1)
+            f, a, k, links, _, _ = det.graph_train.build(
+                feat_cat[0], np.asarray(item['gt_comp_attribs']))
+            params, new_state, opt_state, loss, losses = step(
+                params, bstats, opt_state, img, tgt, jnp.asarray(f),
+                jnp.asarray(a), jnp.asarray(k), jnp.asarray(links))
+            bstats = new_state if new_state else bstats
+            if it % log_interval == 0:
+                logger.info('epoch %d iter %d loss %.4f', epoch, it,
+                            float(loss))
+        history.append(float(loss))
+        logger.info('epoch %d done in %.1fs loss %.4f', epoch,
+                    time.time() - t0, history[-1])
+        if work_dir:
+            from ..utils.checkpoint import save_variables
+            os.makedirs(work_dir, exist_ok=True)
+            save_variables(os.path.join(work_dir, f'epoch_{epoch + 1}.npz'),
+                           {'params': params, **bstats})
+    return {'params': params, **bstats}, history

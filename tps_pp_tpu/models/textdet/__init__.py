@@ -7,7 +7,7 @@ from .drrg import (DRRGDetector, DRRGHead, DRRGLoss, DRRGPostprocessor,
                    GCN, LocalGraphs, ProposalLocalGraphs,
                    roi_align_rotated_np)
 from .maskrcnn import (BoxHead, MaskHead, MaskRCNNDetector, MaskRCNNModule,
-                       RPNHead, generate_anchors, nms_xyxy)
+                       RPNHead, generate_anchors, nms_xyxy, roi_align_jax)
 from .targets import (DBNetTargets, DRRGTargets, FCENetTargets, PANetTargets,
                       PSENetTargets, TextSnakeTargets)
 from .postprocess import (DBPostprocessor, FCEPostprocessor,
@@ -24,7 +24,7 @@ __all__ = [
     'DRRGDetector', 'DRRGHead', 'DRRGLoss', 'DRRGPostprocessor', 'GCN',
     'LocalGraphs', 'ProposalLocalGraphs', 'roi_align_rotated_np',
     'BoxHead', 'MaskHead', 'MaskRCNNDetector', 'MaskRCNNModule', 'RPNHead',
-    'generate_anchors', 'nms_xyxy',
+    'generate_anchors', 'nms_xyxy', 'roi_align_jax',
     'DBNetTargets', 'DRRGTargets', 'FCENetTargets', 'PANetTargets',
     'PSENetTargets', 'TextSnakeTargets',
     'DBPostprocessor', 'FCEPostprocessor', 'PANPostprocessor',

@@ -206,6 +206,35 @@ def roi_align_np(feat, boxes, out_size):
     return roi_align_rotated_np(feat, rois, out_size)
 
 
+def roi_align_jax(feat, boxes, out_size):
+    """Differentiable twin of :func:`roi_align_np` (bin-center bilinear
+    sampling, sampling_ratio=1) so second-stage losses backprop into the
+    FPN, matching torch mmcv.ops.roi_align in the reference train path.
+
+    feat: (H, W, C); boxes: (N, 4) xyxy in feature coords ->
+    (N, out_h, out_w, C)."""
+    import jax.numpy as jnp
+    out_w, out_h = out_size
+    H, W = feat.shape[0], feat.shape[1]
+    cx = (boxes[:, 0] + boxes[:, 2]) / 2
+    cy = (boxes[:, 1] + boxes[:, 3]) / 2
+    w = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1.0)
+    h = jnp.maximum(boxes[:, 3] - boxes[:, 1], 1.0)
+    gys = (jnp.arange(out_h) + 0.5) / out_h - 0.5
+    gxs = (jnp.arange(out_w) + 0.5) / out_w - 0.5
+    gy, gx = jnp.meshgrid(gys, gxs, indexing='ij')          # (oh, ow)
+    px = cx[:, None, None] + gx[None] * w[:, None, None]    # (N, oh, ow)
+    py = cy[:, None, None] + gy[None] * h[:, None, None]
+    x0 = jnp.clip(jnp.floor(px), 0, W - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(py), 0, H - 1).astype(jnp.int32)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    wx = jnp.clip(px - x0, 0, 1)[..., None]
+    wy = jnp.clip(py - y0, 0, 1)[..., None]
+    return ((feat[y0, x0] * (1 - wx) + feat[y0, x1] * wx) * (1 - wy) +
+            (feat[y1, x0] * (1 - wx) + feat[y1, x1] * wx) * wy)
+
+
 class MaskRCNNDetector:
     """Host orchestration: proposals, RoI pooling, boundary extraction
     (reference OCRMaskRCNN.simple_test + get_boundary)."""
@@ -342,6 +371,64 @@ class MaskRCNNDetector:
         else:
             labels[:] = 0
         return labels, deltas
+
+    def sample_train_batch(self, variables, img_np, gt_boxes, gt_masks,
+                           rng=None):
+        """Host half of a train step (mmdet two-stage training protocol):
+        anchor targets, proposals from the CURRENT rpn, RoI sampling, FPN
+        level assignment and mask targets. Returns a dict of fixed-shape
+        numpy arrays for :meth:`train_losses`, or None if the image yields
+        no candidates."""
+        levels, rpn_outs = self.module.apply(variables['main'],
+                                             jnp.asarray(img_np))
+        levels_np = [np.asarray(lv) for lv in levels]
+        feat_shapes = [lv.shape[1:3] for lv in levels_np]
+        H, W = img_np.shape[1:3]
+        rpn_labels, rpn_deltas = self.rpn_targets(feat_shapes, gt_boxes,
+                                                  (H, W))
+        rpn_np = [(np.asarray(c)[0], np.asarray(r)[0]) for c, r in rpn_outs]
+        proposals, _ = self._proposals(levels_np, rpn_np, (H, W))
+        sampled = _sample_rois(proposals, gt_boxes,
+                               num=self.num_train_rois, rng=rng)
+        if sampled is None:
+            return None
+        rois, labels, deltas, midx = sampled
+        mask_targets = make_mask_targets(
+            rois, gt_masks, np.where(labels == 1, midx, -1), out_size=28)
+        areas = np.prod(np.maximum(rois[:, 2:] - rois[:, :2], 1), -1)
+        lvl = np.clip(np.floor(np.log2(np.sqrt(areas) / 56 + 1e-6)) + 2,
+                      0, len(levels_np) - 2).astype(int)
+        onehot = np.eye(len(levels_np) - 1, dtype=np.float32)[lvl]
+        return dict(rpn_labels=rpn_labels, rpn_deltas=rpn_deltas,
+                    rois=rois.astype(np.float32), lvl_onehot=onehot,
+                    labels=labels, deltas=deltas, mask_targets=mask_targets)
+
+    def train_losses(self, variables, img, batch):
+        """Device half of a train step: rpn + box + mask losses, fully
+        differentiable (jit this; RoI pooling uses roi_align_jax so
+        gradients reach the FPN and backbone). Returns (losses dict,
+        updated batch_stats collection)."""
+        (levels, rpn_outs), new_state = self.module.apply(
+            variables['main'], img, train=True, mutable=['batch_stats'])
+        losses = dict(self.rpn_loss(rpn_outs, batch['rpn_labels'],
+                                    batch['rpn_deltas']))
+        rois = batch['rois']
+        oh = batch['lvl_onehot']                                # (N, L)
+
+        def pool(size):
+            return sum(oh[:, li, None, None, None] *
+                       roi_align_jax(levels[li][0],
+                                     rois / self.strides[li], size)
+                       for li in range(oh.shape[1]))
+
+        cls, pred_deltas = self.module.box_head.apply(variables['box'],
+                                                      pool((7, 7)))
+        mask_logits = self.module.mask_head.apply(variables['mask'],
+                                                  pool((14, 14)))
+        losses.update(roi_head_losses(cls, pred_deltas, mask_logits,
+                                      batch['labels'], batch['deltas'],
+                                      batch['mask_targets']))
+        return losses, new_state
 
     def rpn_loss(self, rpn_outs, labels, deltas):
         cls = jnp.concatenate([c.reshape(-1) for c, _ in rpn_outs])

@@ -364,6 +364,66 @@ class DRRGTargets:
         self.comp_shrink_ratio = comp_shrink_ratio
         self.comp_w_h_ratio = comp_w_h_ratio
         self.text_comp_nms_thr = text_comp_nms_thr
+        self.min_rand_half_height = min_rand_half_height
+        self.max_rand_half_height = max_rand_half_height
+        self.jitter_level = jitter_level
+
+    def jitter_comp_attribs(self, attribs, jitter_level):
+        """Jitter (x, y, h, w, cos, sin) of gt components so the GCN trains on
+        imperfect proposals (reference drrg_targets.py:320-369). Labels are
+        kept; cos/sin are re-normalised to the unit circle."""
+        if len(attribs) == 0 or jitter_level <= 0:
+            return attribs
+        x, y, h, w, cos, sin, labels = np.split(attribs, 7, axis=1)
+        u = lambda: (np.random.random((len(attribs), 1)) - 0.5) * jitter_level
+        x = x + u() * (h * np.abs(cos) + w * np.abs(sin))
+        y = y + u() * (h * np.abs(sin) + w * np.abs(cos))
+        h = h + u() * h
+        w = w + u() * w
+        cos = cos + u() * 2
+        sin = sin + u() * 2
+        scale = np.sqrt(1.0 / (cos ** 2 + sin ** 2 + 1e-8))
+        return np.hstack([x, y, h, w, cos * scale, sin * scale,
+                          labels]).astype(np.float32)
+
+    def generate_rand_comp_attribs(self, num, center_sample_mask):
+        """Random label-0 components in the non-text region, so every image
+        carries >= num_min_comps (the KNN graph needs k_hop1 neighbours;
+        reference drrg_targets.py:238-318)."""
+        h, w = center_sample_mask.shape
+        max_hh, min_hh = self.max_rand_half_height, self.min_rand_half_height
+        max_rand_width = np.clip(2 * max_hh * self.comp_w_h_ratio,
+                                 self.min_width, self.max_width)
+        margin = int(np.sqrt(max_hh ** 2 + (max_rand_width / 2) ** 2)) + 1
+        if 2 * margin + 1 > min(h, w):
+            max_hh = max(min(h, w) / 4, self.min_width / 2 + 1)
+            min_hh = max(max_hh / 4, self.min_width / 2)
+            max_rand_width = np.clip(2 * max_hh * self.comp_w_h_ratio,
+                                     self.min_width, self.max_width)
+            margin = int(np.sqrt(max_hh ** 2 + (max_rand_width / 2) ** 2)) + 1
+        inner = np.zeros_like(center_sample_mask, np.uint8)
+        lo = min(margin, min(h, w) // 2)
+        inner[lo:h - lo, lo:w - lo] = \
+            (center_sample_mask[lo:h - lo, lo:w - lo] > 0)
+        k = int(np.clip(max_hh, 7, 21))
+        inner = cv2.erode(inner, np.ones((k, k), np.uint8))
+        candidates = np.argwhere(inner > 0)
+        if len(candidates) == 0:            # degenerate mask: sample anywhere
+            candidates = np.stack([np.random.randint(0, h, 64),
+                                   np.random.randint(0, w, 64)], axis=1)
+        centers = candidates[np.random.choice(len(candidates), num)]
+        top_hh = np.random.randint(int(min_hh), max(int(max_hh),
+                                                    int(min_hh) + 1), (num, 1))
+        bot_hh = np.random.randint(int(min_hh), max(int(max_hh),
+                                                    int(min_hh) + 1), (num, 1))
+        cos = 2 * np.random.random((num, 1)) - 1
+        sin = 2 * np.random.random((num, 1)) - 1
+        scale = np.sqrt(1.0 / (cos ** 2 + sin ** 2 + 1e-8))
+        height = (top_hh + bot_hh).astype(np.float32)
+        width = np.clip(height * self.comp_w_h_ratio, self.min_width,
+                        self.max_width)
+        return np.hstack([centers[:, ::-1], height, width, cos * scale,
+                          sin * scale, np.zeros((num, 1))]).astype(np.float32)
 
     def _attrib_maps(self, polygons, h, w):
         """Center mask + top/bot height + sin/cos, drawn per center-line
@@ -455,6 +515,17 @@ class DRRGTargets:
          center_lines) = self._attrib_maps(polygons, h, w)
         comp_attribs = self.generate_comp_attribs(
             center_lines, center_mask, top_map, bot_map, sin_map, cos_map)
+        # jitter gt attribs, then top up with random label-0 comps in the
+        # non-text region until num_min_comps (reference
+        # drrg_targets.py:460-476)
+        comp_attribs = self.jitter_comp_attribs(comp_attribs,
+                                                self.jitter_level)
+        if len(comp_attribs) < self.num_min_comps:
+            rand = self.generate_rand_comp_attribs(
+                self.num_min_comps - len(comp_attribs),
+                (1 - gt_text).astype(np.uint8))
+            comp_attribs = (np.vstack([comp_attribs, rand])
+                            if len(comp_attribs) else rand)
         return {
             'gt_text_mask': gt_text.astype(np.float32),
             'gt_center_region_mask': center_mask.astype(np.float32),
