@@ -43,6 +43,37 @@ def test_parsers(tmp_path):
         jp.get_item(['{"filename": "b.jpg"}'], 0)
 
 
+def test_string_strip_in_parser():
+    """StringStrip kwargs flow through LineStrParser (reference
+    parser.py:32 + string_util.py)."""
+    from tps_pp_tpu.utils import StringStrip
+    assert StringStrip()('  x  ') == 'x'
+    assert StringStrip(strip_pos='left')(' x ') == 'x '
+    assert StringStrip(strip_pos='right', strip_str='#')('x##') == 'x'
+    assert StringStrip(strip=False)(' x ') == ' x '
+    p = LineStrParser(keys=['filename', 'text'], keys_idx=[0, 1],
+                      strip_pos='right', strip_str='#')
+    assert p.get_item(['a.jpg hello##'], 0)['text'] == 'hello'
+
+
+def test_imshow_edge():
+    """KIE node/edge visualization (reference core/visualize.py:822)."""
+    import numpy as np
+    from tps_pp_tpu.utils.visualize import imshow_edge
+    img = np.full((80, 120, 3), 200, np.uint8)
+    boxes = np.array([[5, 5, 50, 20], [5, 30, 60, 45]], np.float32)
+    nodes = np.array([[0.1, 0.8, 0.1], [0.1, 0.1, 0.8]], np.float32)
+    edges = np.array([[0, 0.9], [0.9, 0]], np.float32)
+    out = imshow_edge(img, boxes, ['Name:', 'Alice'], nodes, edges)
+    assert out.shape[0] == 80 and out.shape[1] > 120
+    # the panel carries drawn text (non-white pixels)
+    assert (out[:, 120:] < 250).any()
+    # below-threshold edges draw no pairs
+    out2 = imshow_edge(img, boxes, ['a', 'b'], nodes,
+                       np.zeros((2, 2), np.float32))
+    assert not (out2[:, 120:] < 250).any()
+
+
 def test_hard_disk_loader(tmp_path):
     f = tmp_path / 'ann.txt'
     f.write_text('a.jpg x\nb.jpg y\n')

@@ -21,15 +21,17 @@ class LineStrParser:
     """Split a text line into a dict by separator (reference parser.py:9-46)."""
 
     def __init__(self, keys=('filename', 'text'), keys_idx=(0, 1),
-                 separator=' '):
+                 separator=' ', **kwargs):
         assert len(keys) > 0 and len(keys) == len(keys_idx)
         self.keys = list(keys)
         self.keys_idx = list(keys_idx)
         self.separator = separator
+        from ..utils.string_util import StringStrip
+        self.strip_cls = StringStrip(**kwargs)
 
     def get_item(self, data_ret: List[str], index: int) -> Dict:
         map_index = index % len(data_ret)
-        line_str = data_ret[map_index]
+        line_str = self.strip_cls(data_ret[map_index])
         for sub in self.separator:
             if sub != ' ':
                 line_str = line_str.replace(sub, ' ')

@@ -92,3 +92,57 @@ def det_recog_show_result(img: np.ndarray, end2end_res: dict,
     if out_file:
         cv2.imwrite(out_file, out)
     return out
+
+
+_EDGE_COLORS = [(196, 32, 32), (32, 160, 32), (32, 32, 224), (160, 96, 0),
+                (128, 0, 160), (0, 160, 160)]
+
+
+def imshow_edge(img: np.ndarray, boxes: Sequence, texts: Sequence[str],
+                nodes: np.ndarray, edges: np.ndarray, edge_thr: float = 0.5,
+                out_file: Optional[str] = None) -> np.ndarray:
+    """KIE node/edge visualization (reference core/visualize.py:822
+    imshow_edge + draw_edge_result): left = image with per-node-class
+    colored boxes, right = white panel listing extracted key -> value
+    pairs with their edge scores.
+
+    boxes: (n, 4) xyxy or (n, 8) quads; nodes: (n, C) class scores;
+    edges: (n, n) link scores.
+    """
+    img = np.ascontiguousarray(img)
+    h, w = img.shape[:2]
+    nodes = np.asarray(nodes, np.float32)
+    edges = np.asarray(edges, np.float32)
+    edges = np.maximum(edges, edges.T)
+    labels = nodes.argmax(-1)
+    boxed = img.copy()
+    for i, box in enumerate(boxes):
+        b = np.asarray(box, np.float32).reshape(-1)
+        if len(b) == 4:
+            pts = np.array([[b[0], b[1]], [b[2], b[1]], [b[2], b[3]],
+                            [b[0], b[3]]], np.int32)
+        else:
+            pts = b.reshape(-1, 2).astype(np.int32)
+        color = _EDGE_COLORS[int(labels[i]) % len(_EDGE_COLORS)]
+        cv2.polylines(boxed, [pts], True, color, 1)
+    panel = np.full((h, max(w, 240), 3), 255, np.uint8)
+    y = 18
+    n = min(len(boxes), len(edges))
+    for i in range(n):
+        for j in range(n):
+            if i == j or edges[i, j] <= edge_thr:
+                continue
+            ti = texts[i] if i < len(texts) else str(i)
+            tj = texts[j] if j < len(texts) else str(j)
+            cv2.putText(panel, f'{ti} -> {tj}  {edges[i, j]:.2f}',
+                        (8, y), cv2.FONT_HERSHEY_SIMPLEX, 0.45, (0, 0, 0), 1)
+            y += 18
+            if y > h - 6:
+                break
+        if y > h - 6:
+            break
+    out = np.concatenate([boxed, panel[:, :panel.shape[1]]], axis=1)
+    if out_file:
+        os.makedirs(os.path.dirname(out_file) or '.', exist_ok=True)
+        cv2.imwrite(out_file, out)
+    return out
