@@ -127,3 +127,76 @@ def test_nrtr_tps_toy_overfit(tmp_path):
     state, history = train_recognizer(rec, train_ds, tcfg, seed=0)
     losses = [h['loss'] for h in history if 'loss' in h]
     assert min(losses[-3:]) < losses[0] * 0.8, losses[:3] + losses[-3:]
+
+
+def test_serve_model_http(tmp_path):
+    """tools/deployment/serve_model.py: the TorchServe-handler analog served
+    over real HTTP (ping, raw + base64 predictions, bad body, bad path)."""
+    import base64
+    import importlib.util
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import cv2
+
+    spec = importlib.util.spec_from_file_location(
+        'serve_model', os.path.join(os.path.dirname(__file__), '..',
+                                    'tools', 'deployment', 'serve_model.py'))
+    sm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sm)
+
+    cfg = {'model': {
+        'type': 'CRNNNet',
+        'backbone': dict(type='VeryDeepVgg', leaky_relu=False,
+                         input_channels=1),
+        'decoder': dict(type='CRNNDecoder', in_channels=512, rnn_flag=True),
+        'loss': dict(type='CTCLoss'),
+        'label_convertor': dict(type='CTCConvertor', dict_type='DICT36',
+                                with_unknown=False, lower=True),
+    }, 'input_shape': (32, 100, 1), 'test_pipeline': [
+        dict(type='LoadImageFromFile', color_type='grayscale'),
+        dict(type='ResizeOCR', height=32, min_width=100, max_width=100,
+             keep_aspect_ratio=False),
+        dict(type='ToTensorOCR'),
+        dict(type='NormalizeOCR', mean=[0.5], std=[0.5]),
+        dict(type='Collect', keys=['img']),
+    ]}
+    model = sm._Model(cfg)
+    server = ThreadingHTTPServer(('127.0.0.1', 0),
+                                 sm.make_handler(model, 'ocr'))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f'http://127.0.0.1:{port}'
+        ping = json.loads(urllib.request.urlopen(
+            base + '/ping', timeout=30).read())
+        assert ping == {'status': 'Healthy'}
+
+        img = np.full((32, 100, 3), 255, np.uint8)
+        cv2.putText(img, 'hi', (5, 22), cv2.FONT_HERSHEY_SIMPLEX, 0.7,
+                    (0, 0, 0), 2)
+        raw = cv2.imencode('.jpg', img)[1].tobytes()
+
+        def post(path, body):
+            req = urllib.request.Request(base + path, data=body,
+                                         method='POST')
+            try:
+                r = urllib.request.urlopen(req, timeout=120)
+                return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        code, out = post('/predictions/ocr', raw)
+        assert code == 200 and 'text' in out and 'score' in out
+        code_b64, out_b64 = post('/predictions/ocr', base64.b64encode(raw))
+        assert code_b64 == 200 and out_b64['text'] == out['text']
+        code, err = post('/predictions/ocr', b'garbage\x00')
+        assert code == 400 and 'error' in err
+        code, err = post('/predictions/nope', raw)
+        assert code == 404
+    finally:
+        server.shutdown()
