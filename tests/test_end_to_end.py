@@ -200,3 +200,31 @@ def test_serve_model_http(tmp_path):
         assert code == 404
     finally:
         server.shutdown()
+
+    # detection mode (--det): same wire contract, boundary_result payload
+    det_cfg = {'model': {
+        'type': 'DBNet',
+        'backbone': dict(type='ResNetDet', stage_blocks=[1, 1, 1, 1],
+                         base_channels=8),
+        'neck': dict(type='FPNC', in_channels=[8, 16, 32, 64],
+                     lateral_channels=16),
+        'head': dict(type='DBHead', in_channels=64),
+    }}
+    det_model = sm._Model(det_cfg, det=True)
+    det_server = ThreadingHTTPServer(('127.0.0.1', 0),
+                                     sm.make_handler(det_model, 'det'))
+    det_port = det_server.server_address[1]
+    threading.Thread(target=det_server.serve_forever, daemon=True).start()
+    try:
+        img = np.full((64, 64, 3), 255, np.uint8)
+        cv2.rectangle(img, (10, 20), (50, 40), (0, 0, 0), -1)
+        body = cv2.imencode('.jpg', img)[1].tobytes()
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{det_port}/predictions/det', data=body,
+            method='POST')
+        r = urllib.request.urlopen(req, timeout=120)
+        out = json.loads(r.read())
+        assert r.status == 200 and 'boundary_result' in out
+        assert isinstance(out['boundary_result'], list)
+    finally:
+        det_server.shutdown()
