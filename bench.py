@@ -61,18 +61,13 @@ def main():
     iters = int(os.environ.get('BENCH_ITERS', '3'))
     warmup = int(os.environ.get('BENCH_WARMUP', '2'))
 
-    # decode modes:
-    #   'fused40' (default) — whole-decode pallas kernel: weights, KV caches
-    #     and int8 enc-KV stay VMEM-resident for all 40 greedy steps.
-    #     5015 img/s measured in-pipeline (the earlier standalone-kernel
-    #     timing that suggested it was slower over-billed tunnel dispatch).
-    #     Deviation vs the XLA path is pure quantization noise: argmax flips
-    #     only at top-2 prob gaps < 4e-3 (coin-flip ties), max prob delta
-    #     4.5e-3 at B=64 random inputs.
-    #   'steps' — XLA KV-cached loop, bit-matched to the torch reference
-    #     greedy semantics (argmax-identical in the parity suite); 4.08k.
+    # decode modes (see apis/recognizer.py): the default is 'auto' — the
+    # SAME resolution rec.predict serves, which on TPU picks 'fused40_bf16',
+    # the whole-decode pallas kernel with bf16 encoder K/V (greedy
+    # argmax-identical to the torch-matched 'steps' XLA loop). Override with
+    # BENCH_DECODE={steps,fused40,fused40_bf16} to measure a specific path.
     kv_dtype = os.environ.get('BENCH_KV', 'bfloat16')
-    decode_mode = os.environ.get('BENCH_DECODE', 'fused40')
+    decode_mode = os.environ.get('BENCH_DECODE', 'auto')
     rec = build_recognizer(nrtr_tps_pp_cfg(dtype='bfloat16',
                                            kv_dtype=kv_dtype,
                                            decode_mode=decode_mode))
@@ -132,6 +127,10 @@ def main():
         'value': round(ips, 2),
         'unit': 'images/sec/chip',
         'vs_baseline': round(ips / BASELINE_TARGET, 4),
+        # self-describing provenance: which decode path produced the number
+        'decode_mode': rec.resolved_decode_mode(),
+        'kv_dtype': kv_dtype,
+        'batch': batch,
     }))
 
 

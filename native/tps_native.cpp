@@ -81,7 +81,23 @@ void* packed_open(const char* path) {
     return nullptr;
   }
   memcpy(&pf->count, pf->base + 8, 8);
+  // validate the header count against the mapped size BEFORE trusting the
+  // offset table: a truncated/corrupt file would otherwise SIGBUS on the
+  // first offsets[] read (the per-record end>size check runs too late)
+  const uint64_t max_count = (pf->size - 16) / 8;
+  if (max_count == 0 || pf->count > max_count - 1) {
+    munmap(mem, st.st_size);
+    ::close(fd);
+    delete pf;
+    return nullptr;
+  }
   pf->offsets = reinterpret_cast<const uint64_t*>(pf->base + 16);
+  if (pf->offsets[pf->count] > pf->size) {  // trailing offset = data end
+    munmap(mem, st.st_size);
+    ::close(fd);
+    delete pf;
+    return nullptr;
+  }
   return pf;
 }
 

@@ -1,0 +1,65 @@
+"""TextDetector dispatch: every det family in configs/textdet/ must build
+and run through the same inference API (the reference routes all of them
+through ``init_detector`` + ``model_inference``, apis/inference.py:19-194).
+"""
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.heavy
+
+_BB = dict(type='ResNetDet', stage_blocks=[1, 1, 1, 1], base_channels=8)
+
+_CFGS = {
+    'DBNet': dict(
+        type='DBNet', backbone=_BB,
+        neck=dict(type='FPNC', in_channels=[8, 16, 32, 64],
+                  lateral_channels=8),
+        head=dict(type='DBHead', in_channels=32)),
+    'PANet': dict(
+        type='PANet', backbone=_BB,
+        neck=dict(type='FPEM_FFM', in_channels=[8, 16, 32, 64], conv_out=8),
+        head=dict(type='PANHead', out_channels=6)),
+    'PSENet': dict(
+        type='PSENet', backbone=_BB,
+        neck=dict(type='FPNF', in_channels=[8, 16, 32, 64], out_channels=8),
+        head=dict(type='PSEHead', out_channels=7),
+        postprocessor=dict(type='PSEPostprocessor')),
+    'FCENet': dict(
+        type='FCENet', backbone=_BB,
+        neck=dict(type='FPNDet', in_channels=[16, 32, 64], out_channels=8),
+        head=dict(type='FCEHead', in_channels=8, fourier_degree=5)),
+    'TextSnake': dict(
+        type='TextSnake', backbone=_BB,
+        neck=dict(type='FPN_UNet', in_channels=[8, 16, 32, 64],
+                  out_channels=8),
+        head=dict(type='TextSnakeHead')),
+    'DRRG': dict(
+        type='DRRG', backbone=_BB,
+        neck=dict(type='FPN_UNet', in_channels=[8, 16, 32, 64],
+                  out_channels=8)),
+    'OCRMaskRCNN': dict(
+        type='OCRMaskRCNN', backbone=_BB,
+        neck=dict(type='FPNDet', in_channels=[8, 16, 32, 64],
+                  out_channels=8),
+        rpn_head=dict(type='RPNHead', feat_channels=8, num_anchors=5)),
+}
+
+
+@pytest.mark.parametrize('det_type', sorted(_CFGS))
+def test_text_detector_builds_and_detects(det_type):
+    from tps_pp_tpu.apis.detector import TextDetector
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (48, 64, 3)).astype(np.uint8)
+    det = TextDetector(_CFGS[det_type], img_size=(32, 64))
+    results = det.detect_batch([img, img])
+    assert len(results) == 2
+    for boundaries in results:
+        for b in boundaries:
+            b = np.asarray(b)
+            assert b.ndim == 1 and b.size >= 9 and b.size % 2 == 1
+            # coords scaled back to the original image frame
+            assert np.isfinite(b).all()
+    # the single-image path is the batch of one
+    single = det.detect(img)
+    assert len(single) == len(results[0])

@@ -36,6 +36,31 @@ def test_packed_roundtrip(tmp_path):
     assert r2[1] == records[1]
 
 
+def test_packed_rejects_corrupt_header(tmp_path):
+    """A truncated/corrupt TPSPACK1 file must fail cleanly at open — the
+    header count is validated against the mapped size before the offset
+    table is trusted (no SIGBUS on reads past the mmap)."""
+    import struct
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip('native lib unavailable')
+    # absurd count field: 16 + 8*(count+1) overflows the file size
+    bad = tmp_path / 'bad.pack'
+    bad.write_bytes(b'TPSPACK1' + struct.pack('<Q', 10 ** 12))
+    assert not lib.packed_open(str(bad).encode())
+    # trailing offset pointing past EOF
+    bad2 = tmp_path / 'bad2.pack'
+    bad2.write_bytes(b'TPSPACK1' + struct.pack('<Q', 1) +
+                     struct.pack('<QQ', 32, 10 ** 9))
+    assert not lib.packed_open(str(bad2).encode())
+    # control: a well-formed single-record file still opens
+    good = tmp_path / 'good.pack'
+    native.write_packed(str(good), [b'rec'])
+    h = lib.packed_open(str(good).encode())
+    assert h and lib.packed_count(h) == 1
+    lib.packed_close(h)
+
+
 def test_packed_loader(tmp_path):
     from tps_pp_tpu.datasets.loader import PackedLoader
     path = str(tmp_path / 'ann.pack')

@@ -48,11 +48,20 @@ def main():
                            img_size=tuple(cfg.get('det_img_size',
                                                   (640, 640))),
                            checkpoint=args.checkpoint)
+        # fixed-size resized batches through the jitted detector forward,
+        # host postprocessing per image (reference single_gpu_test batching)
+        import time
+        batch = args.batch_size or \
+            (cfg['data'].get('samples_per_gpu', 8) if 'data' in cfg else 8)
         preds = []
-        for i in range(len(ds)):
-            item = ds[i]
-            img = (item['img'] * 255).astype('uint8')
-            preds.append(det.detect(img))
+        t0 = time.perf_counter()
+        for i in range(0, len(ds), batch):
+            imgs = [(ds[j]['img'] * 255).astype('uint8')
+                    for j in range(i, min(i + batch, len(ds)))]
+            preds.extend(det.detect_batch(imgs))
+        dt = time.perf_counter() - t0
+        logging.info('det eval: %d images, %.1f ms/image',
+                     len(ds), 1e3 * dt / max(len(ds), 1))
         metric = 'hmean-iou' if args.eval in ('acc', 'hmean-iou') \
             else args.eval
         metrics = ds.evaluate(preds, metric=metric)

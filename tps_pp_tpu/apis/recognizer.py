@@ -78,10 +78,18 @@ class TextRecognizer:
         # preserved — the codec ignores everything after the first EOS)
         self.early_exit = bool(cfg.get('early_exit', True))
         self.beam_length_norm = bool(cfg.get('beam_length_norm', False))
-        # 'fused40': whole greedy decode in one pallas kernel
-        # (ops/pallas_full_decode.py) — the large-batch serving path;
-        # 'steps' (default): XLA KV-cached loop with early exit
-        self.decode_mode = cfg.get('decode_mode', 'steps')
+        # decode modes:
+        #   'auto' (default): pick the fastest serving path for the current
+        #     backend — on TPU with a fused-capable decoder this is
+        #     'fused40_bf16'; everywhere else 'steps'.
+        #   'fused40_bf16': whole greedy decode in one pallas kernel with
+        #     bf16 encoder K/V — greedy argmax-identical to 'steps'
+        #     (the serving default on TPU, ~5k img/s/chip on the flagship);
+        #   'fused40': same kernel with int8-quantized encoder K/V (halves
+        #     its VMEM footprint; argmax flips on quantization near-ties);
+        #   'steps': XLA KV-cached loop with early exit, bit-matched to the
+        #     torch reference greedy semantics.
+        self.decode_mode = cfg.get('decode_mode', 'auto')
         # bucketed KV-cache reads during decode (see greedy_decode);
         # pointless when the fused step kernels are on (they mask in-kernel)
         self.kv_bucket = (int(cfg.get('kv_bucket', 8))
@@ -125,10 +133,28 @@ class TextRecognizer:
         return total, (losses, new_state)
 
     # -------------------------------------------------------- inference
+    def resolved_decode_mode(self) -> str:
+        """The decode path ``predict`` actually uses, with 'auto' resolved
+        for the current default backend (evaluated lazily — tests switch
+        platforms mid-process)."""
+        mode = self.decode_mode
+        if mode != 'auto':
+            return mode
+        decoder = self.module.decoder
+        if (self.autoregressive and self.beam_width <= 1
+                and hasattr(type(decoder), 'fused_full_decode')
+                and jax.default_backend() not in ('cpu', 'gpu')):
+            return 'fused40_bf16'
+        return 'steps'
+
     def _predict_impl(self, variables, img, valid_ratio):
-        if self.autoregressive and self.decode_mode == 'fused40':
+        mode = self.resolved_decode_mode()
+        if (self.autoregressive and self.beam_width <= 1
+                and mode in ('fused40', 'fused40_bf16')):
+            enc_dtype = 'int8' if mode == 'fused40' else 'bfloat16'
             return self.module.apply(variables, img, valid_ratio,
-                                     method='decode_full_fused')
+                                     method='decode_full_fused',
+                                     enc_dtype=enc_dtype)
         if self.autoregressive:
             feat, out_enc = self.module.apply(variables, img, valid_ratio,
                                               method='encode_full')

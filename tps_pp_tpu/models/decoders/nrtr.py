@@ -234,11 +234,16 @@ class NRTRDecoder(nn.Module):
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return probs, tuple(new_caches)
 
-    def fused_full_decode(self, feat, out_enc, valid_ratio=None):
+    def fused_full_decode(self, feat, out_enc, valid_ratio=None,
+                          enc_dtype: str = 'int8'):
         """All max_seq_len greedy steps in ONE pallas kernel
         (ops/pallas_full_decode.py): weights, encoder K/V and the KV caches
         stay VMEM-resident for the whole loop. Returns (N, S, C-1) per-step
-        softmax probabilities — same contract as greedy_decode."""
+        softmax probabilities — same contract as greedy_decode.
+
+        enc_dtype='bfloat16' keeps the encoder K/V unquantized (greedy
+        argmax-identical to the XLA `steps` path); 'int8' halves its VMEM
+        footprint at the cost of argmax flips on quantization near-ties."""
         from ...ops.pallas_full_decode import full_greedy_decode
 
         enc_k, enc_v = [], []
@@ -304,7 +309,8 @@ class NRTRDecoder(nn.Module):
                 0, :self.max_seq_len])
         return full_greedy_decode(
             enc_k, enc_v, src_mask, weights, S=self.max_seq_len,
-            start_idx=self.start_idx, num_classes=self.num_classes - 1)
+            start_idx=self.start_idx, num_classes=self.num_classes - 1,
+            enc_dtype=enc_dtype)
 
     def _fused_decode_step(self, token, t, carry, static):
         """decode_step through the fused Pallas kernels

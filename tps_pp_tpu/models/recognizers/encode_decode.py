@@ -77,11 +77,13 @@ class EncodeDecodeRecognizerModule(nn.Module):
     def decode_step(self, token, t, carry, static, *args):
         return self.decoder.decode_step(token, t, carry, static, *args)
 
-    def decode_full_fused(self, img, valid_ratio=None):
+    def decode_full_fused(self, img, valid_ratio=None,
+                          enc_dtype: str = 'int8'):
         """encode + whole-decode-in-one-pallas-kernel serving path
         (NRTRDecoder.fused_full_decode)."""
         feat, out_enc = self.encode_full(img, valid_ratio, train=False)
-        return self.decoder.fused_full_decode(feat, out_enc, valid_ratio)
+        return self.decoder.fused_full_decode(feat, out_enc, valid_ratio,
+                                              enc_dtype=enc_dtype)
 
 
 # Recognizer ``type=`` names are resolved by apis.recognizer.build_recognizer

@@ -298,11 +298,14 @@ def skeletonize(mask: np.ndarray) -> np.ndarray:
     img = (mask > 0).astype(np.uint8)
     skel = np.zeros_like(img)
     kernel = cv2.getStructuringElement(cv2.MORPH_CROSS, (3, 3))
+    # borderValue=0: cv2's default erosion border is +inf, so a mask
+    # touching the image edge would never erode to empty (infinite loop)
     while True:
-        opened = cv2.morphologyEx(img, cv2.MORPH_OPEN, kernel)
+        opened = cv2.morphologyEx(img, cv2.MORPH_OPEN, kernel,
+                                  borderValue=0)
         temp = cv2.subtract(img, opened)
         skel = cv2.bitwise_or(skel, temp)
-        img = cv2.erode(img, kernel)
+        img = cv2.erode(img, kernel, borderValue=0)
         if cv2.countNonZero(img) == 0:
             break
     return skel > 0
@@ -314,25 +317,31 @@ def centralize(points_yx, normal_sin, normal_cos, radius, contour_mask,
     (reference postprocess/utils.py:56-83)."""
     h, w = contour_mask.shape
     top_yx = bot_yx = points_yx.astype(np.float64)
-    step_flags = np.ones((len(points_yx), 1), dtype=bool)
     step = step_ratio * radius * np.hstack([normal_sin, normal_cos])
-    while np.any(step_flags):
-        next_yx = np.array(top_yx + step, dtype=np.int32)
-        ny, nx = next_yx[:, 0], next_yx[:, 1]
-        step_flags = ((ny >= 0) & (ny < h) & (nx > 0) & (nx < w) &
+    # points whose step is ~0 (degenerate/untrained radius prediction)
+    # could never leave the mask — the reference assumes trained positive
+    # radii; freeze them instead of spinning forever, and hard-cap the walk
+    # at the worst-case mask crossing
+    alive = (np.abs(step).max(axis=1, keepdims=True) > 1e-6)
+    max_iters = int(np.ceil(
+        (h + w) / max(float(np.abs(step).max(initial=0.0)), 1e-6))) + 8
+    for sign in (1.0, -1.0):
+        cur = top_yx if sign > 0 else bot_yx
+        step_flags = alive.copy()
+        for _ in range(max_iters):
+            if not np.any(step_flags):
+                break
+            next_yx = np.array(cur + sign * step, dtype=np.int32)
+            ny, nx = next_yx[:, 0], next_yx[:, 1]
+            inside = ((ny >= 0) & (ny < h) & (nx > 0) & (nx < w) &
                       contour_mask[np.clip(ny, 0, h - 1),
                                    np.clip(nx, 0, w - 1)].astype(bool))
-        step_flags = step_flags.reshape(-1, 1)
-        top_yx = top_yx + step_flags * step
-    step_flags = np.ones((len(points_yx), 1), dtype=bool)
-    while np.any(step_flags):
-        next_yx = np.array(bot_yx - step, dtype=np.int32)
-        ny, nx = next_yx[:, 0], next_yx[:, 1]
-        step_flags = ((ny >= 0) & (ny < h) & (nx > 0) & (nx < w) &
-                      contour_mask[np.clip(ny, 0, h - 1),
-                                   np.clip(nx, 0, w - 1)].astype(bool))
-        step_flags = step_flags.reshape(-1, 1)
-        bot_yx = bot_yx - step_flags * step
+            step_flags = step_flags & inside.reshape(-1, 1)
+            cur = cur + step_flags * sign * step
+        if sign > 0:
+            top_yx = cur
+        else:
+            bot_yx = cur
     return np.array((top_yx + bot_yx) * 0.5, dtype=np.int32)
 
 

@@ -85,15 +85,26 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
                         ln3s_ref, ln3b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                         lnfs_ref, lnfb_ref, wcls_ref, bcls_ref,
                         enc_scales_ref, enc_kv_ref,
-                        probs_ref, ckv_ref, *,
+                        probs_ref, ckv_ref, enc_vmem=None, dma_sem=None, *,
                         L, H, T, TE, DK, S, CP, start_idx, num_classes,
-                        ablate=''):
+                        enc_quant=True, ablate=''):
     bt = mask_ref.shape[0]
     D = embed_ref.shape[1]
     scale = 1.0 / (DK ** 0.5)
     cross_valid = mask_ref[:] > 0                           # (bt, TE)
+    if not enc_quant:
+        # bf16 enc-KV lives in HBM (pallas would double-buffer a VMEM grid
+        # input — 2x the dominant tenant); copy this block's slice once via
+        # manual DMA. Layout (N, L, H, TE, 2DK): the batch slice is a
+        # leading-dim range, contiguous for the DMA engine.
+        blk = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            enc_kv_ref.at[pl.ds(blk * bt, bt)], enc_vmem, dma_sem)
+        dma.start()
     # zero the caches (scratch is uninitialized)
     ckv_ref[...] = jnp.zeros_like(ckv_ref)
+    if not enc_quant:
+        dma.wait()
 
     cls_iota = jax.lax.broadcasted_iota(jnp.int32, (bt, CP), 1)
     onehot0 = (cls_iota == start_idx).astype(jnp.float32)
@@ -148,13 +159,16 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
                          preferred_element_type=jnp.float32)
             if 'cross' in ablate:
                 ca = q2
-            else:
+            elif enc_quant:
                 k_scales = [enc_scales_ref[(l * H + h) * 2]
                             for h in range(H)]
                 v_scales = [enc_scales_ref[(l * H + h) * 2 + 1]
                             for h in range(H)]
                 ca = _attend_block(q2, enc_kv_ref[l], cross_valid, H,
                                    DK, scale, (k_scales, v_scales))
+            else:
+                ca = _attend_block(q2, enc_vmem[:, l], cross_valid, H,
+                                   DK, scale)
             x = x + jnp.dot(ca.astype(jnp.bfloat16), wfc2_ref[l],
                             preferred_element_type=jnp.float32)
             # ---- FFN ----
@@ -185,14 +199,20 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
 
 
 @functools.partial(jax.jit, static_argnames=('S', 'start_idx', 'num_classes',
-                                             'bt', 'interpret', 'ablate'))
+                                             'bt', 'interpret', 'ablate',
+                                             'enc_dtype'))
 def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
-                       start_idx: int, num_classes: int, bt: int = 64,
-                       interpret: bool = False, ablate: str = ''):
+                       start_idx: int, num_classes: int, bt: int = None,
+                       interpret: bool = False, ablate: str = '',
+                       enc_dtype: str = 'int8'):
     """Run the whole greedy decode in one pallas kernel.
 
     enc_k/enc_v: (L, N, H, TE, DK) precomputed encoder K/V (bf16).
     src_mask: (N, TE) 1=valid.
+    enc_dtype: 'int8' quantizes the encoder K/V per-(layer, head) — halves
+    the dominant VMEM tenant but flips greedy argmax on quantization
+    near-ties; 'bfloat16' keeps it in HBM (manual per-block DMA, not
+    double-buffered) and is argmax-identical to the XLA `steps` decode.
     weights: dict with stacked per-layer arrays:
       ln1_s/ln1_b/ln2_s/ln2_b/ln3_s/ln3_b (L, 1, D) f32;
       wqkv (L, D, 3*H*DK), wfc1 (L, H*DK, D), wq2 (L, D, H*DK),
@@ -205,33 +225,56 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
     """
     enc_kv = jnp.concatenate([enc_k, enc_v], axis=-1)   # (L,N,H,TE,2DK)
     L, N, H, TE, DK = enc_k.shape
-    # int8-quantize the encoder K/V with per-(layer, head) absmax scales —
-    # halves the dominant VMEM tenant so batch blocks of 64 fit (full
-    # 128-row MXU sublane utilization needs bt >= 64)
-    enc_absmax = jnp.max(jnp.abs(enc_kv.astype(jnp.float32)),
-                         axis=(1, 3))                      # (L, H, 2DK)
-    k_scale = jnp.max(enc_absmax[..., :DK], axis=-1) / 127.0 + 1e-8
-    v_scale = jnp.max(enc_absmax[..., DK:], axis=-1) / 127.0 + 1e-8
-    denom = jnp.concatenate([
-        jnp.repeat(k_scale[..., None], DK, -1),
-        jnp.repeat(v_scale[..., None], DK, -1)], axis=-1)  # (L, H, 2DK)
-    enc_kv8 = jnp.clip(jnp.round(
-        enc_kv.astype(jnp.float32) / denom[:, None, :, None, :]),
-        -127, 127).astype(jnp.int8)
-    scales = jnp.stack([k_scale, v_scale], axis=-1).reshape(-1)  # (L*H*2,)
+    enc_quant = enc_dtype == 'int8'
+    if enc_quant:
+        # int8-quantize the encoder K/V with per-(layer, head) absmax
+        # scales — halves the dominant VMEM tenant so batch blocks of 64 fit
+        # (full 128-row MXU sublane utilization needs bt >= 64)
+        enc_absmax = jnp.max(jnp.abs(enc_kv.astype(jnp.float32)),
+                             axis=(1, 3))                  # (L, H, 2DK)
+        k_scale = jnp.max(enc_absmax[..., :DK], axis=-1) / 127.0 + 1e-8
+        v_scale = jnp.max(enc_absmax[..., DK:], axis=-1) / 127.0 + 1e-8
+        denom = jnp.concatenate([
+            jnp.repeat(k_scale[..., None], DK, -1),
+            jnp.repeat(v_scale[..., None], DK, -1)], axis=-1)  # (L,H,2DK)
+        enc_arg = jnp.clip(jnp.round(
+            enc_kv.astype(jnp.float32) / denom[:, None, :, None, :]),
+            -127, 127).astype(jnp.int8)
+        scales = jnp.stack([k_scale, v_scale],
+                           axis=-1).reshape(-1)            # (L*H*2,)
+    else:
+        # bf16 enc-KV, batch-major so each block's slice is one contiguous
+        # leading-dim range for the in-kernel DMA
+        enc_arg = jnp.transpose(enc_kv, (1, 0, 2, 3, 4)).astype(jnp.bfloat16)
+        scales = jnp.ones((L * H * 2,), jnp.float32)       # unused
     D = weights['embed'].shape[1]
     CP = weights['wcls'].shape[1]
     DI = weights['w1'].shape[2]
     T = S + 1
+    if bt is None:
+        # batch-block override for perf probes (VMEM headroom experiments)
+        import os
+        bt = int(os.environ.get('TPS_FUSED_BT', '64'))
     bt = _fit_tile(N, bt)
     kernel = functools.partial(
         _full_decode_kernel, L=L, H=H, T=T, TE=TE, DK=DK, S=S, CP=CP,
-        start_idx=start_idx, num_classes=num_classes, ablate=ablate)
+        start_idx=start_idx, num_classes=num_classes, enc_quant=enc_quant,
+        ablate=ablate)
 
     def fixed(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    if enc_quant:
+        enc_spec = pl.BlockSpec((L, bt, H, TE, 2 * DK),
+                                lambda i: (0, i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((L, bt, H, T, 2 * DK), jnp.bfloat16)]
+    else:
+        enc_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [pltpu.VMEM((L, bt, H, T, 2 * DK), jnp.bfloat16),
+                   pltpu.VMEM((bt, L, H, TE, 2 * DK), jnp.bfloat16),
+                   pltpu.SemaphoreType.DMA(())]
     grid = (N // bt,)
     probs = pl.pallas_call(
         kernel,
@@ -251,16 +294,12 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
             fixed((1, D)), fixed((1, D)),                        # lnf
             fixed((D, CP)), fixed((1, CP)),                      # cls
             pl.BlockSpec(memory_space=pltpu.SMEM),               # enc scales
-            pl.BlockSpec((L, bt, H, TE, 2 * DK),
-                         lambda i: (0, i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),               # enc_kv
+            enc_spec,                                            # enc_kv
         ],
         out_specs=pl.BlockSpec((bt, S, CP), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, S, CP), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((L, bt, H, T, 2 * DK), jnp.bfloat16),     # packed KV
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
@@ -282,7 +321,7 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
       weights['lnf_b'].astype(jnp.float32),
       weights['wcls'].astype(jnp.bfloat16),
       weights['bcls'].astype(jnp.float32),
-      scales.astype(jnp.float32), enc_kv8)
+      scales.astype(jnp.float32), enc_arg)
     return probs[:, :, :num_classes]
 
 
