@@ -1,0 +1,117 @@
+"""KIE (SDMGR) + NER training paths — the reference trains both through
+``tools/train.py`` (kie/extractors/sdmgr.py:16, ner/classifiers/
+ner_classifier.py:8); these drive the same dispatch on tiny synthetic data.
+"""
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _write_wildreceipt(tmp_path, n=8):
+    """Synthetic wildreceipt-style jsonl: two separable node classes."""
+    lines = []
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        anns = []
+        for j in range(4):
+            label = j % 2
+            y = int(10 + 20 * j + rng.integers(0, 3))
+            text = ('total' if label else 'item') + str(j)
+            anns.append({'box': [5, y, 60, y, 60, y + 10, 5, y + 10],
+                         'text': text, 'label': int(label)})
+        lines.append({'file_name': f'{i}.jpg', 'height': 100, 'width': 80,
+                      'annotations': anns})
+    p = tmp_path / 'kie.jsonl'
+    p.write_text('\n'.join(json.dumps(ln) for ln in lines))
+    return str(p)
+
+
+def _write_cluener(tmp_path, n=8):
+    lines = []
+    for i in range(n):
+        text = f'alice went to paris {i}'
+        lines.append({'text': text,
+                      'label': {'name': {'alice': [[0, 4]]},
+                                'address': {'paris': [[14, 18]]}}})
+    p = tmp_path / 'ner.jsonl'
+    p.write_text('\n'.join(json.dumps(ln) for ln in lines))
+    return str(p)
+
+
+def test_train_kie_sdmgr(tmp_path):
+    from tps_pp_tpu.apis.train_kie import train_kie
+    from tps_pp_tpu.config import ConfigDict
+    from tps_pp_tpu.datasets.kie_dataset import KIEDataset
+
+    ann = _write_wildreceipt(tmp_path)
+    ds = KIEDataset(ann, max_nodes=8, max_chars=8)
+    cfg = ConfigDict._wrap({
+        'model': {'type': 'SDMGR',
+                  'head': dict(type='SDMGRHead', num_chars=92,
+                               node_embed=32, edge_embed=32, fusion_dim=64,
+                               num_classes=4),
+                  'loss': dict(type='SDMGRLoss')},
+        'optimizer': dict(type='Adam', lr=1e-2),
+        'total_epochs': 6,
+    })
+    variables, history = train_kie(cfg, ds, batch_size=4,
+                                   work_dir=str(tmp_path / 'wd'))
+    assert all(np.isfinite(history))
+    assert history[-1] < history[0] * 0.8, history
+    assert (tmp_path / 'wd' / 'epoch_6.npz').exists()
+
+
+def test_train_ner_bert(tmp_path):
+    from tps_pp_tpu.apis.train_kie import train_ner
+    from tps_pp_tpu.config import ConfigDict
+    from tps_pp_tpu.datasets.kie_dataset import NerDataset
+
+    ann = _write_cluener(tmp_path)
+    cats = ['name', 'address']
+    ds = NerDataset(ann, categories=cats, max_len=32)
+    cfg = ConfigDict._wrap({
+        'model': {'type': 'NerClassifier',
+                  'encoder': dict(type='BertEncoder', vocab_size=20200,
+                                  hidden_size=32, num_hidden_layers=2,
+                                  num_attention_heads=2,
+                                  intermediate_size=64,
+                                  max_position_embeddings=64),
+                  'decoder': dict(type='FCDecoder',
+                                  num_labels=2 * len(cats) + 1),
+                  'loss': dict(type='MaskedCrossEntropyLoss')},
+        'optimizer': dict(type='Adam', lr=1e-3),
+        'total_epochs': 6,
+    })
+    variables, history = train_ner(cfg, ds, batch_size=4,
+                                   work_dir=str(tmp_path / 'wd'))
+    assert all(np.isfinite(history))
+    assert history[-1] < history[0] * 0.8, history
+    assert (tmp_path / 'wd' / 'epoch_6.npz').exists()
+
+
+@pytest.mark.heavy
+def test_train_kie_via_cli(tmp_path):
+    """The shipped sdmgr config trains through the tools/train.py dispatch
+    (cfg-options shrink it to toy size)."""
+    ann = _write_wildreceipt(tmp_path)
+    cmd = [sys.executable, 'tools/train.py',
+           'configs/kie/sdmgr/sdmgr_unet16_60e_wildreceipt.py',
+           '--work-dir', str(tmp_path / 'wd'),
+           '--cfg-options',
+           f'data.train.ann_file={ann}',
+           'data.train.dict_file=',
+           'data.train.max_nodes=8', 'data.train.max_chars=8',
+           'data.samples_per_gpu=4',
+           'model.head.node_embed=32', 'model.head.edge_embed=32',
+           'model.head.fusion_dim=64',
+           'total_epochs=2']
+    env = {'JAX_PLATFORMS': 'cpu'}
+    import os
+    env = {**os.environ, **env}
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=540,
+                         cwd='/root/repo', env=env)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert (tmp_path / 'wd' / 'epoch_2.npz').exists()

@@ -54,6 +54,20 @@ def main():
         options[k] = v
     merge_cli_options(cfg, options)
 
+    from tps_pp_tpu.apis.train_kie import (KIE_TYPES, NER_TYPES,
+                                           build_task_dataset, train_kie,
+                                           train_ner)
+    if cfg['model'].get('type') in KIE_TYPES + NER_TYPES:
+        # KIE/NER configs train through the same CLI (the reference routes
+        # SDMGR and NerClassifier through tools/train.py)
+        train_fn = (train_kie if cfg['model']['type'] in KIE_TYPES
+                    else train_ner)
+        train_ds = build_task_dataset(cfg, 'train')
+        bs = cfg.get('data', {}).get('samples_per_gpu', 4)
+        train_fn(cfg, train_ds, work_dir=args.work_dir, batch_size=bs,
+                 seed=args.seed)
+        return
+
     from tps_pp_tpu.apis.train_det import DET_TYPES, train_detector
     if cfg['model'].get('type') in DET_TYPES:
         # detection configs go through the det loop (the reference trains

@@ -1,0 +1,208 @@
+"""KIE (SDMGR) and NER (BERT-softmax) training loops.
+
+The reference trains both through the same ``tools/train.py`` CLI:
+SDMGR via ``kie/extractors/sdmgr.py:16`` (forward_train -> SDMGRHead +
+SDMGRLoss) and NER via ``ner/classifiers/ner_classifier.py:8``
+(forward_train -> BertEncoder + FCDecoder + MaskedCrossEntropyLoss).
+
+Both are static-shape friendly on TPU: KIEDataset already pads every graph
+to (max_nodes, max_chars) with node/edge ignore labels, so a batch is one
+dense (B, N, ...) tensor stack vmapped through the head; NER is fixed
+``max_len`` token sequences. One jitted loss+grad+adam step each.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..config import ConfigDict
+from ..registry import ENCODERS, HEADS, LOSSES
+
+logger = logging.getLogger(__name__)
+
+KIE_TYPES = ('SDMGR',)
+NER_TYPES = ('NerClassifier',)
+
+
+def _build(reg, cfg):
+    cfg = dict(cfg)
+    return reg.get(cfg.pop('type'))(**cfg)
+
+
+def _epoch_loop(n, batch_size, epochs, seed, make_batch, run_step, save):
+    rng = np.random.default_rng(seed)
+    history = []
+    for epoch in range(epochs):
+        order = rng.permutation(n)
+        t0 = time.time()
+        loss = float('nan')
+        for it in range(0, n - batch_size + 1, batch_size):
+            loss = run_step(make_batch(order[it:it + batch_size]), epoch, it)
+        history.append(float(loss))
+        logger.info('epoch %d done in %.1fs loss %.4f', epoch,
+                    time.time() - t0, history[-1])
+        save(epoch)
+    return history
+
+
+def train_kie(cfg: ConfigDict, train_ds, work_dir: Optional[str] = None,
+              total_epochs: Optional[int] = None, batch_size: int = 4,
+              log_interval: int = 10, seed: int = 0):
+    """SDMGR training (reference sdmgr.py forward_train + sdmgr_loss.py).
+
+    The visual modality (UNet + RoI pooling fused into the node features,
+    reference ``visual_modality=True`` configs) is carried by the head's
+    BlockFusion; this loop trains the text+spatial modality the dataset
+    emits (reference defaults to visual_modality=False in the model class).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from .train_det import _make_optimizer
+    from .. import models as _models  # noqa: F401 (registration)
+
+    model_cfg = cfg['model']
+    head = _build(HEADS, model_cfg['head'])
+    loss_cfg = dict(model_cfg.get('loss') or {'type': 'SDMGRLoss'})
+    loss_obj = LOSSES.get(loss_cfg.pop('type'))(**loss_cfg)
+
+    sample = train_ds[0]
+    variables = head.init(jax.random.PRNGKey(seed),
+                          jnp.asarray(sample['relations']),
+                          jnp.asarray(sample['texts']))
+    params = variables['params']
+    tx = _make_optimizer(cfg)
+    opt_state = tx.init(params)
+    epochs = total_epochs or cfg.get('total_epochs') or 1
+    num_classes = head.num_classes
+
+    @jax.jit
+    def step(params, opt_state, relations, texts, labels, edge_labels):
+        def f(p):
+            node_cls, edge_cls = jax.vmap(
+                lambda r, t: head.apply({'params': p}, r, t))(relations,
+                                                              texts)
+            losses = loss_obj(node_cls.reshape(-1, num_classes),
+                              edge_cls.reshape(-1, 2),
+                              labels.reshape(-1),
+                              edge_labels.reshape(edge_labels.shape[0], -1))
+            return sum(jnp.asarray(v) for v in losses.values()), losses
+        (loss, losses), grads = jax.value_and_grad(f, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, losses
+
+    def make_batch(indices):
+        items = [train_ds[int(i)] for i in indices]
+        return tuple(jnp.asarray(np.stack([it[k] for it in items]))
+                     for k in ('relations', 'texts', 'labels',
+                               'edge_labels'))
+
+    state = {'params': params, 'opt_state': opt_state}
+
+    def run_step(batch, epoch, it):
+        state['params'], state['opt_state'], loss, _ = step(
+            state['params'], state['opt_state'], *batch)
+        if (it // batch_size) % log_interval == 0:
+            logger.info('epoch %d iter %d loss %.4f', epoch,
+                        it // batch_size, float(loss))
+        return loss
+
+    def save(epoch):
+        if work_dir:
+            from ..utils.checkpoint import save_variables
+            os.makedirs(work_dir, exist_ok=True)
+            save_variables(os.path.join(work_dir, f'epoch_{epoch + 1}.npz'),
+                           {'params': state['params']})
+
+    history = _epoch_loop(len(train_ds), batch_size, epochs, seed,
+                          make_batch, run_step, save)
+    return {'params': state['params']}, history
+
+
+def train_ner(cfg: ConfigDict, train_ds, work_dir: Optional[str] = None,
+              total_epochs: Optional[int] = None, batch_size: int = 8,
+              log_interval: int = 10, seed: int = 0):
+    """NER training (reference ner_classifier.py forward_train)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from .train_det import _make_optimizer
+    from ..models.ner.bert import NerClassifierModule
+    from .. import models as _models  # noqa: F401 (registration)
+
+    model_cfg = cfg['model']
+    module = NerClassifierModule(
+        encoder=_build(ENCODERS, model_cfg['encoder']),
+        decoder=_build(HEADS, model_cfg['decoder']))
+    loss_cfg = dict(model_cfg.get('loss') or
+                    {'type': 'MaskedCrossEntropyLoss'})
+    loss_obj = LOSSES.get(loss_cfg.pop('type'))(**loss_cfg)
+
+    sample = train_ds[0]
+    T = sample['input_ids'].shape[0]
+    variables = module.init(jax.random.PRNGKey(seed),
+                            jnp.zeros((1, T), jnp.int32))
+    params = variables['params']
+    tx = _make_optimizer(cfg)
+    opt_state = tx.init(params)
+    epochs = total_epochs or cfg.get('total_epochs') or 1
+
+    @jax.jit
+    def step(params, opt_state, rng, input_ids, attention_mask, labels):
+        def f(p):
+            logits = module.apply({'params': p}, input_ids, attention_mask,
+                                  train=True, rngs={'dropout': rng})
+            losses = loss_obj(logits, labels, attention_mask)
+            return sum(jnp.asarray(v) for v in losses.values()), losses
+        (loss, losses), grads = jax.value_and_grad(f, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, losses
+
+    def make_batch(indices):
+        items = [train_ds[int(i)] for i in indices]
+        return tuple(jnp.asarray(np.stack([it[k] for it in items]))
+                     for k in ('input_ids', 'attention_mask', 'labels'))
+
+    base_rng = jax.random.PRNGKey(seed)
+    state = {'params': params, 'opt_state': opt_state, 'it': 0}
+
+    def run_step(batch, epoch, it):
+        rng = jax.random.fold_in(base_rng, state['it'])
+        state['it'] += 1
+        state['params'], state['opt_state'], loss, _ = step(
+            state['params'], state['opt_state'], rng, *batch)
+        if (it // batch_size) % log_interval == 0:
+            logger.info('epoch %d iter %d loss %.4f', epoch,
+                        it // batch_size, float(loss))
+        return loss
+
+    def save(epoch):
+        if work_dir:
+            from ..utils.checkpoint import save_variables
+            os.makedirs(work_dir, exist_ok=True)
+            save_variables(os.path.join(work_dir, f'epoch_{epoch + 1}.npz'),
+                           {'params': state['params']})
+
+    history = _epoch_loop(len(train_ds), batch_size, epochs, seed,
+                          make_batch, run_step, save)
+    return {'params': state['params']}, history
+
+
+def build_task_dataset(cfg: ConfigDict, split: str = 'train'):
+    """KIE/NER dataset from the config's data section (type-dispatched)."""
+    from ..datasets.kie_dataset import (KIEDataset, NerDataset,
+                                        OpensetKIEDataset)
+    d = dict(cfg['data'][split])
+    t = d.pop('type', 'KIEDataset')
+    cls = {'KIEDataset': KIEDataset, 'OpensetKIEDataset': OpensetKIEDataset,
+           'NerDataset': NerDataset}[t]
+    d.pop('pipeline', None)
+    d.pop('loader', None)
+    d.pop('img_prefix', None)
+    return cls(**d)

@@ -24,6 +24,12 @@ class MultiRotateAugOCR:
                  transforms=(), **kwargs):
         self.rotate_degrees = list(rotate_degrees)
         self.force_rotate = force_rotate
+        # the remaining test pipeline (resize/normalize/collect), applied to
+        # every rotation variant like the reference wraps its sub-pipeline
+        self.transforms = None
+        if transforms:
+            from .transforms import Compose
+            self.transforms = Compose(transforms)
 
     def should_rotate(self, img: np.ndarray) -> bool:
         h, w = img.shape[:2]
@@ -47,8 +53,23 @@ class MultiRotateAugOCR:
         return out
 
     def __call__(self, results: Dict) -> Dict:
-        results['aug_imgs'] = self.expand(results['img'])
-        return results
+        variants = self.expand(results['img'])
+        if self.transforms is None:
+            results['aug_imgs'] = variants
+            results['aug_n'] = len(variants)
+            results['aug_total'] = len(self.rotate_degrees)
+            return results
+        processed = []
+        for v in variants:
+            r = dict(results)
+            r['img'] = v
+            processed.append(self.transforms(r))
+        out = dict(processed[0])
+        out['aug_imgs'] = [p['img'] for p in processed]
+        out['aug_metas'] = [p.get('img_metas', {}) for p in processed]
+        out['aug_n'] = len(processed)
+        out['aug_total'] = len(self.rotate_degrees)
+        return out
 
 
 def merge_aug_results(aug_results: List[Dict]) -> Dict:

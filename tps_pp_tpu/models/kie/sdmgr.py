@@ -47,8 +47,11 @@ class BlockFusion(nn.Module):
             z = (za * zb).reshape(*za.shape[:-1], self.rank, chunk).sum(-2)
             zs.append(z)
         z = jnp.concatenate(zs, axis=-1)
-        z = jnp.sqrt(nn.relu(z)) - jnp.sqrt(nn.relu(-z))   # signed sqrt
-        z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-8)
+        # signed sqrt + guarded L2 norm: the plain sqrt(relu(z)) form has an
+        # unbounded/NaN gradient at z == 0 (exact zeros occur on padded rows)
+        z = jnp.sign(z) * jnp.sqrt(jnp.abs(z) + 1e-12)
+        sq = jnp.sum(jnp.square(z), axis=-1, keepdims=True)
+        z = z * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
         return nn.Dense(self.out_dim, dtype=self.dtype, name='linear_out')(z)
 
 
@@ -117,8 +120,10 @@ class SDMGRHead(nn.Module):
                                                                  nodes)
         edges = nn.Dense(self.edge_embed, dtype=self.dtype,
                          name='edge_embed')(relations.astype(self.dtype))
-        edges = edges / (jnp.linalg.norm(edges, axis=-1, keepdims=True) +
-                         1e-8)
+        # guarded L2 normalize (reference F.normalize): padded relation rows
+        # embed to exactly 0 at init, and d(x/||x||)/dx is NaN at 0
+        sq = jnp.sum(jnp.square(edges), axis=-1, keepdims=True)
+        edges = edges * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
         cat = None
         for i in range(self.num_gnn):
             nodes, cat = GNNLayer(self.node_embed, self.edge_embed,
