@@ -5,7 +5,7 @@ model = dict(
     type='SegRecognizer',
     backbone=dict(type='ResNet31OCR', layers=[1, 2, 5, 3],
                   channels=[32, 64, 128, 256, 512, 512],
-                  out_indices=[0, 1, 2, 3], stage4_pool=(1, 1),
+                  out_indices=[0, 1, 2, 3], stage4_pool=(2, 2),
                   last_stage_pool=True),
     neck=dict(type='FPNOCR', in_channels=[128, 256, 512, 512],
               out_channels=256),

@@ -136,12 +136,15 @@ class TextRecognizer:
     def resolved_decode_mode(self) -> str:
         """The decode path ``predict`` actually uses, with 'auto' resolved
         for the current default backend (evaluated lazily — tests switch
-        platforms mid-process)."""
-        mode = self.decode_mode
+        platforms mid-process). Non-AR subclasses (ABINet, Seg) have no
+        decode loop — they report 'single_pass'."""
+        if not self.autoregressive:
+            return 'single_pass'
+        mode = getattr(self, 'decode_mode', 'auto')
         if mode != 'auto':
             return mode
         decoder = self.module.decoder
-        if (self.autoregressive and self.beam_width <= 1
+        if (getattr(self, 'beam_width', 1) <= 1
                 and hasattr(type(decoder), 'fused_full_decode')
                 and jax.default_backend() not in ('cpu', 'gpu')):
             return 'fused40_bf16'
@@ -149,7 +152,7 @@ class TextRecognizer:
 
     def _predict_impl(self, variables, img, valid_ratio):
         mode = self.resolved_decode_mode()
-        if (self.autoregressive and self.beam_width <= 1
+        if (self.autoregressive and getattr(self, 'beam_width', 1) <= 1
                 and mode in ('fused40', 'fused40_bf16')):
             enc_dtype = 'int8' if mode == 'fused40' else 'bfloat16'
             return self.module.apply(variables, img, valid_ratio,
@@ -208,4 +211,7 @@ def build_recognizer(cfg: Dict[str, Any]):
     if type_name == 'ABINet':
         from .abinet import ABINetRecognizer
         return ABINetRecognizer(cfg)
+    if type_name == 'SegRecognizer':
+        from .seg import SegRecognizer
+        return SegRecognizer(cfg)
     return TextRecognizer(cfg)

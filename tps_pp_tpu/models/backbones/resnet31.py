@@ -81,9 +81,11 @@ class ResNet31OCR(nn.Module):
         x = self.conv2(x, train=train)
         return x, outs
 
-    def tail(self, x, train: bool = False, collected=None):
-        outs = list(collected or [])
-        outs.append(x)
+    def tail(self, x, train: bool = False):
+        # out_indices follows the reference contract (resnet31_ocr.py
+        # forward): index over the FOUR residual-stage outputs only —
+        # 0=stage2 ... 3=stage5 (stems are internal skip-connection taps)
+        outs = [x]
         x = max_pool(x, 2, 2)
         x = self.block3(x, train=train)
         x = self.conv3(x, train=train)
@@ -103,4 +105,4 @@ class ResNet31OCR(nn.Module):
 
     def __call__(self, x, train: bool = False):
         x, outs = self.stem_and_head(x, train=train)
-        return self.tail(x, train=train, collected=outs)
+        return self.tail(x, train=train)
