@@ -50,7 +50,8 @@ def train_recognizer(rec, train_dataset, cfg: Dict,
             batch_size = ((batch_size + n_data - 1) // n_data) * n_data
             logger.info('batch size rounded up to %d (multiple of the '
                         "mesh's %d-way data axis)", batch_size, n_data)
-    loader = DataLoader(train_dataset, batch_size, shuffle=True, seed=seed)
+    loader = DataLoader(train_dataset, batch_size, shuffle=True, seed=seed,
+                        num_workers=int(cfg.get('workers_per_gpu', 0)))
     steps_per_epoch = len(loader)
 
     opt_cfg = dict(cfg.get('optimizer', dict(type='Adam', lr=1e-4)))

@@ -127,19 +127,74 @@ class UniformConcatDataset:
         return out
 
 
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _collate(samples: List[Dict], batch_size: int,
+             pad_to_batch: bool) -> Dict:
+    n_real = len(samples)
+    if pad_to_batch and n_real < batch_size:
+        samples = samples + [samples[-1]] * (batch_size - n_real)
+    imgs = np.stack([s['img'] for s in samples]).astype(np.float32)
+    metas = [s['img_metas'] for s in samples]
+    vr = np.asarray([m.get('valid_ratio', 1.0) or 1.0 for m in metas],
+                    np.float32)
+    return {
+        'img': imgs,
+        'valid_ratio': vr,
+        'img_metas': metas,
+        'texts': [s.get('text', '') for s in samples],
+        'n_real': n_real,
+    }
+
+
+def _worker_fetch(idxs, epoch: int, seed: int, batch_size: int,
+                  pad_to_batch: bool):
+    """Process AND collate one batch in a worker, seeding the host RNGs per
+    (seed, epoch, sample) so augmentation draws are DETERMINISTIC and
+    independent of worker count/assignment (stronger than the reference's
+    per-worker worker_init_fn seeding, apis/builder.py:155-169). Collating
+    worker-side ships ONE contiguous array across the process boundary
+    instead of batch_size small per-sample dicts (IPC-bound otherwise)."""
+    out = []
+    for i in idxs:
+        key = (seed * 1000003 + epoch) * 1000003 + int(i)
+        _random.seed(key)
+        np.random.seed(key % (2 ** 32))
+        out.append(_WORKER_DATASET[int(i)])
+    return _collate(out, batch_size, pad_to_batch)
+
+
 class DataLoader:
     """Fixed-shape batcher. Yields dicts of stacked numpy arrays plus
-    host-side 'texts' and 'img_metas' lists."""
+    host-side 'texts' and 'img_metas' lists.
+
+    ``num_workers > 0`` runs the pipeline (decode + augmentation, the CPU
+    hot loop — SURVEY §3.1; the reference uses 10 torch workers/GPU) in a
+    process pool: whole batches are dispatched ``prefetch`` deep ahead of
+    consumption and yielded in order, so the host assembles batch N+k while
+    the accelerator runs batch N (the device_put/step overlap comes free
+    from JAX async dispatch)."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: Optional[int] = None,
-                 pad_to_batch: bool = True):
+                 pad_to_batch: bool = True, num_workers: int = 0,
+                 prefetch: int = 2, mp_context: str = 'fork'):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
         self.pad_to_batch = pad_to_batch
+        self.num_workers = int(num_workers)
+        self.prefetch = max(1, int(prefetch))
+        self.mp_context = mp_context
+        self._pool = None
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -151,7 +206,28 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[Dict]:
+    def _ensure_pool(self):
+        if self._pool is None:
+            import concurrent.futures as cf
+            import multiprocessing as mp
+            self._pool = cf.ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=mp.get_context(self.mp_context),
+                initializer=_worker_init, initargs=(self.dataset,))
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def _batch_indices(self):
         order = list(range(len(self.dataset)))
         if self.shuffle:
             rng = _random.Random(
@@ -161,25 +237,34 @@ class DataLoader:
             idxs = order[i:i + self.batch_size]
             if self.drop_last and len(idxs) < self.batch_size:
                 break
-            samples = [self.dataset[j] for j in idxs]
-            yield self.collate(samples)
+            yield idxs
+
+    def __iter__(self) -> Iterator[Dict]:
+        if self.num_workers <= 0:
+            for idxs in self._batch_indices():
+                yield self.collate([self.dataset[j] for j in idxs])
+            return
+        from collections import deque
+        pool = self._ensure_pool()
+        seed = self.seed or 0
+        pending = deque()
+        batches = self._batch_indices()
+        depth = self.num_workers * self.prefetch
+        try:
+            for idxs in batches:
+                pending.append(pool.submit(
+                    _worker_fetch, idxs, self._epoch, seed,
+                    self.batch_size, self.pad_to_batch))
+                if len(pending) >= depth:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+        finally:
+            for f in pending:
+                f.cancel()
 
     def collate(self, samples: List[Dict]) -> Dict:
-        n_real = len(samples)
-        if self.pad_to_batch and n_real < self.batch_size:
-            samples = samples + [samples[-1]] * (self.batch_size - n_real)
-        imgs = np.stack([s['img'] for s in samples]).astype(np.float32)
-        metas = [s['img_metas'] for s in samples]
-        vr = np.asarray([m.get('valid_ratio', 1.0) or 1.0 for m in metas],
-                        np.float32)
-        batch = {
-            'img': imgs,
-            'valid_ratio': vr,
-            'img_metas': metas,
-            'texts': [s.get('text', '') for s in samples],
-            'n_real': n_real,
-        }
-        return batch
+        return _collate(samples, self.batch_size, self.pad_to_batch)
 
 
 def build_dataset(cfg: Dict, default_args: Optional[Dict] = None):
