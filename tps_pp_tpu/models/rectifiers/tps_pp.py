@@ -174,8 +174,11 @@ class DGAB(nn.Module):
 
     @nn.compact
     def __call__(self, x, y):
+        # epsilon=1e-5: torch nn.LayerNorm default (reference DGAB.py:66-71
+        # norm_layer(tuple_dim) never overrides eps); flax defaults to 1e-6,
+        # which diverges hard on low-variance activations (var ~ eps)
         norm = lambda name: nn.LayerNorm(  # noqa: E731
-            reduction_axes=(-2, -1), feature_axes=(-2, -1),
+            reduction_axes=(-2, -1), feature_axes=(-2, -1), epsilon=1e-5,
             dtype=self.dtype, name=name)
         x = x + DGABBlock(self.dim, self.point, self.height, self.width,
                           self.dtype, name='attn')(norm('norm1')(x), y)
@@ -313,9 +316,11 @@ class TPS_PP(nn.Module):
                 pc_score.astype(jnp.float32), self.inv_delta_C, self.P_hat,
                 self.P, (Hr, Wr), tile=self.pallas_tile)
         else:
+            # grid math needs >= f32 (bf16 grids visibly misplace samples);
+            # promote rather than hard-cast so f64 parity probes stay f64
+            gdt = jnp.promote_types(control_point.dtype, jnp.float32)
             grid = tps_ops.build_P_prime(
-                control_point.astype(jnp.float32),
-                pc_score.astype(jnp.float32),
+                control_point.astype(gdt), pc_score.astype(gdt),
                 self.inv_delta_C, self.P_hat, self.P)     # (N, Hr*Wr, 2)
             if self.sample_mode == 'onehot':
                 rect = grid_sample_onehot(feat_grid, grid)

@@ -179,7 +179,10 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
             h2 = jnp.dot(h1.astype(jnp.bfloat16), w2_ref[l],
                          preferred_element_type=jnp.float32) + b2_ref[l]
             x = x + h2
-        xl = _layernorm(x, lnfs_ref[:], lnfb_ref[:])
+        # the decoder's FINAL LayerNorm uses eps=1e-6 (reference
+        # nrtr_decoder.py:76 sets it explicitly; per-layer norms keep the
+        # torch default 1e-5)
+        xl = _layernorm(x, lnfs_ref[:], lnfb_ref[:], eps=1e-6)
         logits = jnp.dot(xl.astype(jnp.bfloat16), wcls_ref[:],
                          preferred_element_type=jnp.float32) + bcls_ref[:]
         logits = jnp.where(cls_iota < num_classes, logits, NEG_INF)

@@ -462,6 +462,12 @@ def load_reference():
         'mmocr.models.textrecog.decoders.abinet_language_decoder')
     abi_fuser = _load('mmocr/models/textrecog/fusers/abi_fuser.py',
                       'mmocr.models.textrecog.fusers.abi_fuser')
+    ce_loss = _load('mmocr/models/textrecog/losses/ce_loss.py',
+                    'mmocr.models.textrecog.losses.ce_loss')
+    ctc_loss = _load('mmocr/models/textrecog/losses/ctc_loss.py',
+                     'mmocr.models.textrecog.losses.ctc_loss')
+    mix_loss = _load('mmocr/models/textrecog/losses/mix_loss.py',
+                     'mmocr.models.textrecog.losses.mix_loss')
 
     ns = types.SimpleNamespace(
         TPS_PP=tps_pp.TPS_PP,
@@ -488,6 +494,11 @@ def load_reference():
         ABIVisionDecoder=abi_vdec.ABIVisionDecoder,
         ABILanguageDecoder=abi_ldec.ABILanguageDecoder,
         ABIFuser=abi_fuser.ABIFuser,
+        CELoss=ce_loss.CELoss,
+        TFLoss=ce_loss.TFLoss,
+        SARLoss=ce_loss.SARLoss,
+        CTCLoss=ctc_loss.CTCLoss,
+        ABILoss=mix_loss.ABILoss,
     )
     _loaded = ns
     return ns
