@@ -332,10 +332,12 @@ def _train_drrg(cfg, train_ds, work_dir, total_epochs, log_interval, seed):
 
     fwd = jax.jit(lambda p, b, img: net.apply({'params': p, **b}, img))
 
+    @jax.jit
     def step(params, bstats, opt_state, img, tgt, node_feats, adjs, knns,
              links):
-        # node counts vary per image -> jit would recompile per shape; the
-        # graphs are small, so this stays un-jitted python + jitted net fwd
+        # jitted: graph tensors are padded to (graph, node) BUCKETS by
+        # LocalGraphs.pack, so only a handful of shapes ever compile;
+        # padded graphs carry link label -1 (ignored by gcn_loss)
         def f(p):
             (_, pred_maps), new_state = net.apply(
                 {'params': p['net'], **bstats}, img, train=True,
@@ -370,8 +372,16 @@ def _train_drrg(cfg, train_ds, work_dir, total_epochs, log_interval, seed):
             feats, pred_maps = fwd(params['net'], bstats, img)
             feat_cat = np.concatenate([np.asarray(feats),
                                        np.asarray(pred_maps)], axis=-1)
-            f, a, k, links, _, _ = det.graph_train.build(
-                feat_cat[0], np.asarray(item['gt_comp_attribs']))
+            # bucketed graph padding: nodes to the k-hop theoretical max,
+            # graphs to the next power-of-two bucket, so the jitted step
+            # compiles once per bucket instead of once per image
+            g = det.graph_train
+            pad_nodes = 1 + g.k_at_hops[0] * (1 + g.k_at_hops[1])
+            f, a, k, links, graphs, _ = det.graph_train.build(
+                feat_cat[0], np.asarray(item['gt_comp_attribs']),
+                pad_nodes=pad_nodes,
+                pad_graphs=max(8, 1 << (len(
+                    item['gt_comp_attribs']) - 1).bit_length()))
             params, new_state, opt_state, loss, losses = step(
                 params, bstats, opt_state, img, tgt, jnp.asarray(f),
                 jnp.asarray(a), jnp.asarray(k), jnp.asarray(links))

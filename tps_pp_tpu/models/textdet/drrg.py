@@ -228,10 +228,13 @@ class LocalGraphs:
         geo = feature_embedding(geo_attribs, self.node_geo_feat_dim)
         return np.hstack([content, geo]).astype(np.float32)
 
-    def build(self, feat_map: np.ndarray, comp_attribs: np.ndarray):
+    def build(self, feat_map: np.ndarray, comp_attribs: np.ndarray,
+              pad_nodes: int = None, pad_graphs: int = None):
         """comp_attribs: (n, 8) [x, y, h, w, cos, sin, label, _] or the
         reference layout (n, 1+6+1). Returns padded numpy GCN inputs +
-        gt link labels."""
+        gt link labels. ``pad_nodes``/``pad_graphs`` pad to bucket sizes so
+        the downstream GCN step compiles once per bucket (padded graphs get
+        link label -1, ignored by DRRGLoss.gcn_loss)."""
         geo = comp_attribs[:, 0:6].astype(np.float32)
         labels = comp_attribs[:, 6].astype(np.int32)
         centers = geo[:, 0:2]
@@ -239,13 +242,18 @@ class LocalGraphs:
         sorted_dist_inds = np.argsort(dist, axis=1)
         graphs, knns = self.generate_local_graphs(sorted_dist_inds, labels)
         node_feats = self.node_features(feat_map, geo)
-        return self.pack(node_feats, sorted_dist_inds, graphs, knns, labels)
+        return self.pack(node_feats, sorted_dist_inds, graphs, knns, labels,
+                         pad_nodes=pad_nodes, pad_graphs=pad_graphs)
 
-    def pack(self, node_feats, sorted_dist_inds, graphs, knns, labels=None):
+    def pack(self, node_feats, sorted_dist_inds, graphs, knns, labels=None,
+             pad_nodes: int = None, pad_graphs: int = None):
         """Pad graphs to a common node count; returns (feats (G,N,D),
         adj (G,N,N), knn_inds (G,K), link_labels (G*K,) or None)
         (reference local_graph.py:116-222)."""
         num_max = max(len(g) for g in graphs)
+        if pad_nodes is not None:
+            assert pad_nodes >= num_max, (pad_nodes, num_max)
+            num_max = pad_nodes
         feats, adjs, knn_out, links = [], [], [], []
         for graph, knn in zip(graphs, knns):
             n = len(graph)
@@ -273,6 +281,16 @@ class LocalGraphs:
                 knn_labels = graph_labels[knn_inds]
                 links.append(((labels[graph[0]] == knn_labels) &
                               (labels[graph[0]] > 0)).astype(np.int32))
+        K = len(knns[0]) - 1
+        if pad_graphs is not None and pad_graphs > len(graphs):
+            n_pad = pad_graphs - len(graphs)
+            D = node_feats.shape[1]
+            for _ in range(n_pad):
+                feats.append(np.zeros((num_max, D), np.float32))
+                adjs.append(np.zeros((num_max, num_max), np.float32))
+                knn_out.append(np.zeros((K,), np.int32))
+                if labels is not None:
+                    links.append(np.full((K,), -1, np.int32))  # ignored
         out_links = np.concatenate(links) if labels is not None else None
         return (np.stack(feats), np.stack(adjs),
                 np.stack(knn_out).astype(np.int32), out_links, graphs, knns)
@@ -415,10 +433,15 @@ class DRRGLoss:
             n_pos + n_neg.astype(jnp.float32) + 1e-5)
 
     def gcn_loss(self, gcn_pred, gt_labels):
+        """CE over link predictions; labels < 0 mark padded graphs (the
+        bucketed jitted train step pads G to a bucket size) and are
+        ignored — with no padding this is the reference's plain mean CE."""
         logp = jax.nn.log_softmax(gcn_pred.astype(jnp.float32), axis=-1)
         labels = gt_labels.reshape(-1).astype(jnp.int32)
-        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None],
-                                             axis=-1))
+        mask = (labels >= 0).astype(jnp.float32)
+        nll = -jnp.take_along_axis(logp, jnp.clip(labels, 0)[:, None],
+                                   axis=-1)[:, 0]
+        return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
     def __call__(self, preds, targets, gcn_pred=None, gt_links=None):
         """preds: (N, H, W, 6); targets: gt_text_mask,
