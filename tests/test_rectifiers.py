@@ -59,3 +59,30 @@ def test_multi_rotate_tta():
         dict(text='ab', score=[0.9, 0.9]),
     ])
     assert best['text'] == 'ab'
+
+
+def test_tps_pallas_mode_is_trainable():
+    """The flagship config sets sample_mode='pallas' (serving kernel, no
+    autodiff rule); under train=True the module must fall back to the
+    differentiable sampler so tools/train.py can train the flagship."""
+    import jax
+    import jax.numpy as jnp
+    from tps_pp_tpu.models.rectifiers.tps_pp import TPS_PP
+
+    mod = TPS_PP(num_img_channel=8, img_size=(16, 32),
+                 rectified_img_size=(16, 32), point_size=(2, 8),
+                 sample_mode='pallas')
+    x = jnp.ones((1, 16, 32, 8), jnp.float32)
+    skips = [jnp.ones((1, 32, 64, 4), jnp.float32),
+             jnp.ones((1, 32, 64, 4), jnp.float32)]
+    v = mod.init(jax.random.PRNGKey(0), x, skips, train=True)
+
+    def f(params):
+        out = mod.apply({'params': params['params']}, x, skips, train=True)
+        return jnp.mean(jnp.square(out['output'].astype(jnp.float32)))
+
+    loss, grads = jax.value_and_grad(f)({'params': v['params']})
+    import numpy as np
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))

@@ -309,7 +309,13 @@ class TPS_PP(nn.Module):
                                            logits['de_feat'])
 
         Hr, Wr = self.rectified_img_size
-        if self.sample_mode == 'pallas':
+        # the fused pallas sampler is a serving-path kernel with no autodiff
+        # rule; under train=True fall back to the differentiable gather
+        # sampler (numerically equivalent — tests/test_pallas_tps.py)
+        sample_mode = self.sample_mode
+        if train and sample_mode == 'pallas':
+            sample_mode = 'gather'
+        if sample_mode == 'pallas':
             from ...ops.pallas_tps import tps_grid_sample_fused
             rect, mp_img = tps_grid_sample_fused(
                 feat_grid, batch_img, control_point.astype(jnp.float32),
@@ -322,7 +328,7 @@ class TPS_PP(nn.Module):
             grid = tps_ops.build_P_prime(
                 control_point.astype(gdt), pc_score.astype(gdt),
                 self.inv_delta_C, self.P_hat, self.P)     # (N, Hr*Wr, 2)
-            if self.sample_mode == 'onehot':
+            if sample_mode == 'onehot':
                 rect = grid_sample_onehot(feat_grid, grid)
                 mp_img = grid_sample_onehot(batch_img, grid)
                 rect = rect.reshape(-1, Hr, Wr, rect.shape[-1])

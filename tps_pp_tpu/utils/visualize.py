@@ -72,6 +72,27 @@ def draw_point_map(img: np.ndarray, control_points: np.ndarray,
     return canvas
 
 
+def imshow_pred_boundary(img: np.ndarray, boundaries,
+                         out_file: Optional[str] = None,
+                         show_score: bool = True,
+                         color=(0, 255, 0)) -> np.ndarray:
+    """Draw detection boundaries ``[x1, y1, ..., score]`` on the image
+    (reference core/visualize.py imshow_pred_boundary)."""
+    import cv2
+    vis = np.ascontiguousarray(img).copy()
+    for b in boundaries:
+        b = np.asarray(b, np.float32)
+        pts = b[:-1].reshape(-1, 2).astype(np.int32)
+        cv2.polylines(vis, [pts], True, color, 2)
+        if show_score:
+            cv2.putText(vis, f'{float(b[-1]):.2f}',
+                        (int(pts[:, 0].min()), max(12, int(pts[:, 1].min()))),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.4, color, 1)
+    if out_file:
+        cv2.imwrite(out_file, vis)
+    return vis
+
+
 def det_recog_show_result(img: np.ndarray, end2end_res: dict,
                           out_file: Optional[str] = None) -> np.ndarray:
     """Draw det boxes + recognized texts side by side (reference
