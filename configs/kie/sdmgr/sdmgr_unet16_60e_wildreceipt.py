@@ -1,8 +1,10 @@
 # SDMGR KIE (reference configs/kie/sdmgr/sdmgr_unet16_60e_wildreceipt.py)
 model = dict(
     type='SDMGR',
+    backbone=dict(type='UNet', base_channels=16),
     head=dict(type='SDMGRHead', num_chars=92, visual_dim=16,
               num_classes=26),
+    visual_modality=True,
     loss=dict(type='SDMGRLoss'))
 
 dataset_type = 'KIEDataset'
@@ -12,11 +14,15 @@ train = dict(
     type=dataset_type,
     ann_file=f'{data_root}/train.txt',
     dict_file=f'{data_root}/dict.txt',
+    img_prefix=data_root,
+    with_visual=True,
     test_mode=False)
 test = dict(
     type=dataset_type,
     ann_file=f'{data_root}/test.txt',
     dict_file=f'{data_root}/dict.txt',
+    img_prefix=data_root,
+    with_visual=True,
     test_mode=True)
 
 data = dict(samples_per_gpu=4, workers_per_gpu=4,

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 
-def _write_wildreceipt(tmp_path, n=8):
+def _write_wildreceipt(tmp_path, n=8, with_images=False):
     """Synthetic wildreceipt-style jsonl: two separable node classes."""
     lines = []
     rng = np.random.default_rng(0)
@@ -24,6 +24,15 @@ def _write_wildreceipt(tmp_path, n=8):
                          'text': text, 'label': int(label)})
         lines.append({'file_name': f'{i}.jpg', 'height': 100, 'width': 80,
                       'annotations': anns})
+        if with_images:
+            import cv2
+            img = np.zeros((100, 80, 3), np.uint8)
+            for j, ann in enumerate(anns):
+                if ann['label']:
+                    b = ann['box']
+                    cv2.rectangle(img, (b[0], b[1]), (b[4], b[5]),
+                                  (255, 255, 255), -1)
+            cv2.imwrite(str(tmp_path / f'{i}.jpg'), img)
     p = tmp_path / 'kie.jsonl'
     p.write_text('\n'.join(json.dumps(ln) for ln in lines))
     return str(p)
@@ -62,6 +71,41 @@ def test_train_kie_sdmgr(tmp_path):
     assert all(np.isfinite(history))
     assert history[-1] < history[0] * 0.8, history
     assert (tmp_path / 'wd' / 'epoch_6.npz').exists()
+
+
+def test_train_kie_sdmgr_visual_modality(tmp_path):
+    """visual_modality=True: UNet features RoI-pooled into the node fusion
+    (reference sdmgr.py extract_feat + wildreceipt config)."""
+    from tps_pp_tpu.apis.train_kie import train_kie
+    from tps_pp_tpu.config import ConfigDict
+    from tps_pp_tpu.datasets.kie_dataset import KIEDataset
+
+    ann = _write_wildreceipt(tmp_path, with_images=True)
+    ds = KIEDataset(ann, max_nodes=8, max_chars=8,
+                    img_prefix=str(tmp_path), with_visual=True,
+                    img_size=(64, 64))
+    item = ds[0]
+    assert item['img'].shape == (64, 64, 3)
+    assert item['boxes'].shape == (8, 4)
+    assert item['boxes'][:4].max() > 0          # scaled into resized coords
+
+    cfg = ConfigDict._wrap({
+        'model': {'type': 'SDMGR',
+                  'backbone': dict(type='UNet', base_channels=4,
+                                   num_stages=3),
+                  'visual_modality': True,
+                  'head': dict(type='SDMGRHead', num_chars=92,
+                               node_embed=32, edge_embed=32, fusion_dim=64,
+                               visual_dim=4, num_classes=4),
+                  'loss': dict(type='SDMGRLoss')},
+        'optimizer': dict(type='Adam', lr=1e-2),
+        'total_epochs': 4,
+    })
+    variables, history = train_kie(cfg, ds, batch_size=4,
+                                   work_dir=str(tmp_path / 'wd'))
+    assert 'unet' in variables['params']        # visual branch trained
+    assert all(np.isfinite(history))
+    assert history[-1] < history[0] * 0.9, history
 
 
 def test_train_ner_bert(tmp_path):
@@ -104,6 +148,7 @@ def test_train_kie_via_cli(tmp_path):
            f'data.train.ann_file={ann}',
            'data.train.dict_file=',
            'data.train.max_nodes=8', 'data.train.max_chars=8',
+           'data.train.with_visual=False',
            'data.samples_per_gpu=4',
            'model.head.node_embed=32', 'model.head.edge_embed=32',
            'model.head.fusion_dim=64',

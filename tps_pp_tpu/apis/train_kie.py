@@ -54,16 +54,18 @@ def train_kie(cfg: ConfigDict, train_ds, work_dir: Optional[str] = None,
               log_interval: int = 10, seed: int = 0):
     """SDMGR training (reference sdmgr.py forward_train + sdmgr_loss.py).
 
-    The visual modality (UNet + RoI pooling fused into the node features,
-    reference ``visual_modality=True`` configs) is carried by the head's
-    BlockFusion; this loop trains the text+spatial modality the dataset
-    emits (reference defaults to visual_modality=False in the model class).
-    """
+    With ``visual_modality=True`` + a UNet backbone in the model config
+    (and a dataset built with ``with_visual=True``), node features fuse
+    RoI-pooled visual features like the reference extract_feat
+    (sdmgr.py:96-100: UNet last level -> RoIAlign 7x7 -> maxpool ->
+    BlockFusion in the head); otherwise the text+spatial modality alone
+    (the reference model-class default)."""
     import jax
     import jax.numpy as jnp
     import optax
     from .train_det import _make_optimizer
     from .. import models as _models  # noqa: F401 (registration)
+    from ..registry import BACKBONES
 
     model_cfg = cfg['model']
     head = _build(HEADS, model_cfg['head'])
@@ -71,42 +73,85 @@ def train_kie(cfg: ConfigDict, train_ds, work_dir: Optional[str] = None,
     loss_obj = LOSSES.get(loss_cfg.pop('type'))(**loss_cfg)
 
     sample = train_ds[0]
-    variables = head.init(jax.random.PRNGKey(seed),
-                          jnp.asarray(sample['relations']),
-                          jnp.asarray(sample['texts']))
-    params = variables['params']
+    visual = bool(model_cfg.get('visual_modality')) and 'img' in sample
+    unet = None
+    if visual:
+        unet = _build(BACKBONES, model_cfg.get('backbone') or
+                      {'type': 'UNet', 'base_channels': 16})
+
+    def roi_visual(fm, bx):
+        """(H, W, C) feature map + (N, 4) boxes -> (N, C) pooled visual
+        features (reference extractor + maxpool, sdmgr.py:96-100)."""
+        from ..models.textdet import roi_align_jax
+        rois = roi_align_jax(fm, bx, (7, 7))        # (N, 7, 7, C)
+        return jnp.max(rois, axis=(1, 2))
+
+    rng0 = jax.random.PRNGKey(seed)
+    if visual:
+        img0 = jnp.asarray(sample['img'])[None]
+        unet_vars = unet.init(rng0, img0)
+        fm0 = unet.apply(unet_vars, img0)
+        vis0 = roi_visual(fm0[0], jnp.asarray(sample['boxes']))
+        head_vars = head.init(rng0, jnp.asarray(sample['relations']),
+                              jnp.asarray(sample['texts']), vis0)
+        params = {'head': head_vars['params'],
+                  'unet': unet_vars['params']}
+        bstats = {k: v for k, v in unet_vars.items() if k != 'params'}
+    else:
+        head_vars = head.init(rng0, jnp.asarray(sample['relations']),
+                              jnp.asarray(sample['texts']))
+        params = {'head': head_vars['params']}
+        bstats = {}
     tx = _make_optimizer(cfg)
     opt_state = tx.init(params)
     epochs = total_epochs or cfg.get('total_epochs') or 1
     num_classes = head.num_classes
 
     @jax.jit
-    def step(params, opt_state, relations, texts, labels, edge_labels):
+    def step(params, bstats, opt_state, relations, texts, labels,
+             edge_labels, img=None, boxes=None):
         def f(p):
-            node_cls, edge_cls = jax.vmap(
-                lambda r, t: head.apply({'params': p}, r, t))(relations,
-                                                              texts)
+            new_state = bstats
+            if visual:
+                fm, new_state = unet.apply(
+                    {'params': p['unet'], **bstats}, img, train=True,
+                    mutable=['batch_stats'])
+                node_cls, edge_cls = jax.vmap(
+                    lambda f_, b_, r, t: head.apply(
+                        {'params': p['head']}, r, t, roi_visual(f_, b_))
+                )(fm, boxes, relations, texts)
+            else:
+                node_cls, edge_cls = jax.vmap(
+                    lambda r, t: head.apply({'params': p['head']}, r, t)
+                )(relations, texts)
             losses = loss_obj(node_cls.reshape(-1, num_classes),
                               edge_cls.reshape(-1, 2),
                               labels.reshape(-1),
                               edge_labels.reshape(edge_labels.shape[0], -1))
-            return sum(jnp.asarray(v) for v in losses.values()), losses
-        (loss, losses), grads = jax.value_and_grad(f, has_aux=True)(params)
+            return (sum(jnp.asarray(v) for v in losses.values()),
+                    (losses, new_state))
+        (loss, (losses, new_state)), grads = jax.value_and_grad(
+            f, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, losses
+        return params, new_state, opt_state, loss, losses
 
     def make_batch(indices):
         items = [train_ds[int(i)] for i in indices]
+        keys = ['relations', 'texts', 'labels', 'edge_labels']
+        if visual:
+            keys += ['img', 'boxes']
         return tuple(jnp.asarray(np.stack([it[k] for it in items]))
-                     for k in ('relations', 'texts', 'labels',
-                               'edge_labels'))
+                     for k in keys)
 
-    state = {'params': params, 'opt_state': opt_state}
+    state = {'params': params, 'bstats': bstats, 'opt_state': opt_state}
 
     def run_step(batch, epoch, it):
-        state['params'], state['opt_state'], loss, _ = step(
-            state['params'], state['opt_state'], *batch)
+        (state['params'], new_state, state['opt_state'], loss,
+         _) = step(state['params'], state['bstats'], state['opt_state'],
+                   *batch)
+        if new_state:
+            state['bstats'] = new_state
         if (it // batch_size) % log_interval == 0:
             logger.info('epoch %d iter %d loss %.4f', epoch,
                         it // batch_size, float(loss))
@@ -117,11 +162,11 @@ def train_kie(cfg: ConfigDict, train_ds, work_dir: Optional[str] = None,
             from ..utils.checkpoint import save_variables
             os.makedirs(work_dir, exist_ok=True)
             save_variables(os.path.join(work_dir, f'epoch_{epoch + 1}.npz'),
-                           {'params': state['params']})
+                           {'params': state['params'], **state['bstats']})
 
     history = _epoch_loop(len(train_ds), batch_size, epochs, seed,
                           make_batch, run_step, save)
-    return {'params': state['params']}, history
+    return {'params': state['params'], **state['bstats']}, history
 
 
 def train_ner(cfg: ConfigDict, train_ds, work_dir: Optional[str] = None,
@@ -204,5 +249,4 @@ def build_task_dataset(cfg: ConfigDict, split: str = 'train'):
            'NerDataset': NerDataset}[t]
     d.pop('pipeline', None)
     d.pop('loader', None)
-    d.pop('img_prefix', None)
     return cls(**d)

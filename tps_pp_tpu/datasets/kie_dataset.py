@@ -24,7 +24,16 @@ class KIEDataset:
     def __init__(self, ann_file: str, dict_file: Optional[str] = None,
                  dict_list: Optional[Sequence[str]] = None,
                  max_nodes: int = 64, max_chars: int = 32,
-                 norm: float = 10.0, test_mode: bool = False, **kwargs):
+                 norm: float = 10.0, test_mode: bool = False,
+                 img_prefix: str = '', with_visual: bool = False,
+                 img_size=(512, 512), **kwargs):
+        # visual modality (reference visual_modality=True configs): load the
+        # receipt image, resize to a fixed ``img_size`` (TPU static shapes
+        # replace the reference's keep-ratio Resize+Pad) and carry the node
+        # boxes in resized coords for RoI pooling
+        self.img_prefix = img_prefix
+        self.with_visual = bool(with_visual)
+        self.img_size = tuple(img_size)
         with open(ann_file, encoding='utf-8') as f:
             self.lines = [json.loads(line) for line in f if line.strip()]
         if dict_file:
@@ -85,13 +94,38 @@ class KIEDataset:
         if n:
             lab = labels[:n]
             edges[:n, :n] = (lab[:, None] == lab[None, :]).astype(np.int32)
-        return {
+        out = {
             'texts': texts,
             'relations': rel,
             'labels': labels,
             'edge_labels': edges,
             'filename': line.get('file_name'),
         }
+        if self.with_visual:
+            import os
+
+            import cv2
+            H, W = self.img_size
+            path = os.path.join(self.img_prefix, line['file_name'])
+            img = cv2.imread(path)
+            if img is None:
+                img = np.zeros((line.get('height', H),
+                                line.get('width', W), 3), np.uint8)
+            h0, w0 = img.shape[:2]
+            img = cv2.resize(img, (W, H)).astype(np.float32)
+            # reference img_norm_cfg (mean/std, to_rgb)
+            img = (img[..., ::-1] -
+                   np.asarray([123.675, 116.28, 103.53], np.float32)) / \
+                np.asarray([58.395, 57.12, 57.375], np.float32)
+            sx, sy = W / max(w0, 1), H / max(h0, 1)
+            scaled = boxes.copy()
+            scaled[:, 0::2] *= sx
+            scaled[:, 1::2] *= sy
+            padded_boxes = np.zeros((N, 4), np.float32)
+            padded_boxes[:len(scaled)] = scaled[:N]
+            out['img'] = img
+            out['boxes'] = padded_boxes
+        return out
 
     def evaluate(self, results: List[np.ndarray], metric='macro_f1',
                  ignores=(0, 2, 4, 6, 8, 10, 12, 25), **kwargs) -> Dict:
