@@ -159,4 +159,23 @@ def test_train_kie_via_cli(tmp_path):
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=540,
                          cwd='/root/repo', env=env)
     assert out.returncode == 0, out.stderr[-3000:]
-    assert (tmp_path / 'wd' / 'epoch_2.npz').exists()
+    ckpt = tmp_path / 'wd' / 'epoch_2.npz'
+    assert ckpt.exists()
+
+    # and evaluate the trained checkpoint through the same CLI
+    # (reference routes KIE eval through tools/test.py too)
+    cmd = [sys.executable, 'tools/test.py',
+           'configs/kie/sdmgr/sdmgr_unet16_60e_wildreceipt.py', str(ckpt),
+           '--eval', 'macro_f1',
+           '--cfg-options',
+           f'data.test.ann_file={ann}',
+           'data.test.dict_file=',
+           'data.test.max_nodes=8', 'data.test.max_chars=8',
+           'data.test.with_visual=False',
+           'model.head.node_embed=32', 'model.head.edge_embed=32',
+           'model.head.fusion_dim=64',
+           "evaluation.metric_options.macro_f1.ignores=[]"]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=540,
+                         cwd='/root/repo', env=env)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert 'macro_f1' in out.stdout, out.stdout[-1000:]

@@ -19,7 +19,109 @@ def parse_args():
     p.add_argument('--eval', default='acc')
     p.add_argument('--out', default=None)
     p.add_argument('--batch-size', type=int, default=None)
+    p.add_argument('--cfg-options', nargs='+', default=[])
     return p.parse_args()
+
+
+def _eval_kie_ner(cfg, args):
+    """KIE (SDMGR macro-F1) / NER (entity F1) evaluation — the reference
+    routes both through this same CLI (kie forward_test -> node softmax,
+    ner classifier -> per-token tags)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tps_pp_tpu.apis.train_kie import _build, build_task_dataset
+    from tps_pp_tpu.registry import ENCODERS, HEADS
+    from tps_pp_tpu.utils.checkpoint import load_variables
+
+    ds = build_task_dataset(cfg, 'test')
+    model_cfg = cfg['model']
+    if model_cfg['type'] == 'SDMGR':
+        from tps_pp_tpu.registry import BACKBONES
+
+        head = _build(HEADS, model_cfg['head'])
+        s = ds[0]
+        rng0 = jax.random.PRNGKey(0)
+        visual = bool(model_cfg.get('visual_modality')) and 'img' in s
+        if visual:  # mirror train_kie's checkpoint structure
+            from tps_pp_tpu.models.textdet import roi_align_jax
+            unet = _build(BACKBONES, model_cfg.get('backbone') or
+                          {'type': 'UNet', 'base_channels': 16})
+            unet_vars = unet.init(rng0, jnp.asarray(s['img'])[None])
+            fm0 = unet.apply(unet_vars, jnp.asarray(s['img'])[None])
+            vis0 = jnp.max(roi_align_jax(fm0[0], jnp.asarray(s['boxes']),
+                                         (7, 7)), axis=(1, 2))
+            head_vars = head.init(rng0, jnp.asarray(s['relations']),
+                                  jnp.asarray(s['texts']), vis0)
+            variables = {'params': {'head': head_vars['params'],
+                                    'unet': unet_vars['params']},
+                         **{k: v for k, v in unet_vars.items()
+                            if k != 'params'}}
+        else:
+            head_vars = head.init(rng0, jnp.asarray(s['relations']),
+                                  jnp.asarray(s['texts']))
+            variables = {'params': {'head': head_vars['params']}}
+        if args.checkpoint:
+            variables = load_variables(args.checkpoint, variables)
+
+        if visual:
+            @jax.jit
+            def apply(v, r, t, img, boxes):
+                bs = {k: vv for k, vv in v.items() if k != 'params'}
+                fm = unet.apply({'params': v['params']['unet'], **bs}, img)
+                vis = jnp.max(roi_align_jax(fm[0], boxes, (7, 7)),
+                              axis=(1, 2))
+                return head.apply({'params': v['params']['head']}, r, t, vis)
+        else:
+            apply = jax.jit(lambda v, r, t: head.apply(
+                {'params': v['params']['head']}, r, t))
+        openset = type(ds).__name__ == 'OpensetKIEDataset'
+        results = []
+        for i in range(len(ds)):
+            item = ds[i]
+            if visual:
+                node_cls, edge_cls = apply(
+                    variables, jnp.asarray(item['relations']),
+                    jnp.asarray(item['texts']),
+                    jnp.asarray(item['img'])[None],
+                    jnp.asarray(item['boxes']))
+            else:
+                node_cls, edge_cls = apply(variables,
+                                           jnp.asarray(item['relations']),
+                                           jnp.asarray(item['texts']))
+            if openset:   # kv-pair decode expects softmaxed node/edge maps
+                n = int((item['labels'] != -100).sum())
+                N = len(item['labels'])
+                edges = np.asarray(jax.nn.softmax(edge_cls, -1)).reshape(
+                    N, N, 2)[:n, :n, 1]
+                results.append({
+                    'filename': item['filename'],
+                    'nodes': np.asarray(jax.nn.softmax(node_cls, -1))[:n],
+                    'edges': edges,
+                })
+            else:
+                results.append(np.asarray(node_cls).argmax(-1))
+        opts = (cfg.get('evaluation', {}).get('metric_options', {})
+                .get('macro_f1', {}))
+        return ds.evaluate(results, metric=args.eval, **opts)
+    # NER
+    from tps_pp_tpu.models.ner.bert import NerClassifierModule
+    module = NerClassifierModule(
+        encoder=_build(ENCODERS, model_cfg['encoder']),
+        decoder=_build(HEADS, model_cfg['decoder']))
+    T = ds[0]['input_ids'].shape[0]
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, T), jnp.int32))
+    if args.checkpoint:
+        variables = load_variables(args.checkpoint, variables)
+    apply = jax.jit(lambda v, i, m: module.apply(v, i, m))
+    results = []
+    for i in range(len(ds)):
+        item = ds[i]
+        logits = apply(variables, jnp.asarray(item['input_ids'])[None],
+                       jnp.asarray(item['attention_mask'])[None])
+        results.append(np.asarray(logits).argmax(-1)[0])
+    return ds.evaluate(results)
 
 
 def main():
@@ -27,12 +129,33 @@ def main():
                         format='%(asctime)s %(levelname)s %(message)s')
     args = parse_args()
 
-    from tps_pp_tpu.config import load_config
+    import ast
+
+    from tps_pp_tpu.config import load_config, merge_cli_options
     from tps_pp_tpu.apis.inference import init_recognizer
     from tps_pp_tpu.apis.test import eval_recognizer
     from tps_pp_tpu.datasets import build_dataset
 
     cfg = load_config(args.config)
+    options = {}
+    for kv in args.cfg_options:
+        k, v = kv.split('=', 1)
+        try:
+            v = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            pass
+        options[k] = v
+    merge_cli_options(cfg, options)
+
+    from tps_pp_tpu.apis.train_kie import (KIE_TYPES, NER_TYPES,
+                                           build_task_dataset)
+    if cfg['model'].get('type') in KIE_TYPES + NER_TYPES:
+        metrics = _eval_kie_ner(cfg, args)
+        print(json.dumps(metrics, indent=2))
+        if args.out:
+            with open(args.out, 'w') as f:
+                json.dump({'metrics': metrics}, f, indent=2)
+        return
 
     from tps_pp_tpu.apis.train_det import DET_TYPES
     if cfg['model'].get('type') in DET_TYPES:
