@@ -155,9 +155,12 @@ class TextRecognizer:
         if (self.autoregressive and getattr(self, 'beam_width', 1) <= 1
                 and mode in ('fused40', 'fused40_bf16')):
             enc_dtype = 'int8' if mode == 'fused40' else 'bfloat16'
+            fused_enc = getattr(type(self.module.encoder),
+                                'SUPPORTS_FUSED_FORWARD', False)
             return self.module.apply(variables, img, valid_ratio,
                                      method='decode_full_fused',
-                                     enc_dtype=enc_dtype)
+                                     enc_dtype=enc_dtype,
+                                     fused_encoder=fused_enc)
         if self.autoregressive:
             feat, out_enc = self.module.apply(variables, img, valid_ratio,
                                               method='encode_full')

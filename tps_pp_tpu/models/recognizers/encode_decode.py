@@ -78,10 +78,19 @@ class EncodeDecodeRecognizerModule(nn.Module):
         return self.decoder.decode_step(token, t, carry, static, *args)
 
     def decode_full_fused(self, img, valid_ratio=None,
-                          enc_dtype: str = 'int8'):
+                          enc_dtype: str = 'int8',
+                          fused_encoder: bool = False):
         """encode + whole-decode-in-one-pallas-kernel serving path
-        (NRTRDecoder.fused_full_decode)."""
-        feat, out_enc = self.encode_full(img, valid_ratio, train=False)
+        (NRTRDecoder.fused_full_decode). ``fused_encoder`` additionally
+        routes the encoder through its whole-encoder pallas kernel."""
+        feat = self.extract_feat(img, train=False)
+        if fused_encoder:
+            out_enc = self.encoder(feat, valid_ratio=valid_ratio,
+                                   train=False, fused=True)
+        else:
+            out_enc = (self.encoder(feat, valid_ratio=valid_ratio,
+                                    train=False)
+                       if self.encoder is not None else None)
         return self.decoder.fused_full_decode(feat, out_enc, valid_ratio,
                                               enc_dtype=enc_dtype)
 
