@@ -97,6 +97,10 @@ def fused_encoder_forward(x, mask, weights, *, T: int, H: int = 8,
     """
     N, T_, D = x.shape
     assert T_ == T
+    import os
+    bi = int(os.environ.get('TPS_ENC_BI', bi))  # images/block perf knob:
+    # smaller bi shrinks the block-diagonal attention overcompute
+    # (FLOPs ~ bi per row) at the cost of more grid steps
     cdt = jnp.dtype(compute_dtype)
     L = weights['wqkv'].shape[0]
     HD = weights['wfc'].shape[1]

@@ -31,9 +31,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_decode import _erf, _layernorm, _fit_tile
+from .pallas_decode import _erf, _fit_tile
 
 NEG_INF = -1e9
+
+
+def _ln_norm(x, eps=1e-5):
+    """Scale/bias-free LayerNorm: the affine part is folded into the
+    adjacent matmul weights host-side (see full_greedy_decode), which
+    removes ~19 f32 vector-op chains from every decode step."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    return (xf - mu) * jax.lax.rsqrt(var + eps)
 
 
 def _attend_block(q, kv, key_mask, H, DK, scale, kv_scales=None):
@@ -53,7 +63,9 @@ def _attend_block(q, kv, key_mask, H, DK, scale, kv_scales=None):
         # the systolic array) and reduce back with a max
         # broadcast in f32 (bf16 (2,1)-tiled broadcasts are an unsupported
         # relayout in Mosaic), then narrow for the MXU dot
-        q_h = q[:, h * DK:(h + 1) * DK] * scale
+        q_h = q[:, h * DK:(h + 1) * DK]
+        if scale != 1.0:
+            q_h = q_h * scale
         if kv_scales is not None:
             # int8 KV: fold the per-(layer, head) K scale into the query and
             # the V scale into the softmax weights (scalar SMEM reads)
@@ -80,17 +92,16 @@ def _attend_block(q, kv, key_mask, H, DK, scale, kv_scales=None):
 
 
 def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
-                        ln1s_ref, ln1b_ref, wqkv_ref, wfc1_ref,
-                        ln2s_ref, ln2b_ref, wq2_ref, wfc2_ref,
-                        ln3s_ref, ln3b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                        lnfs_ref, lnfb_ref, wcls_ref, bcls_ref,
+                        wqkv_ref, bqkv_ref, wfc1_ref,
+                        wq2_ref, bq2_ref, wfc2_ref,
+                        w1_ref, b1_ref, w2_ref, b2_ref,
+                        wcls_ref, bcls_ref,
                         enc_scales_ref, enc_kv_ref,
                         probs_ref, ckv_ref, enc_vmem=None, dma_sem=None, *,
-                        L, H, T, TE, DK, S, CP, start_idx, num_classes,
+                        L, H, T, TE, DK, S, SP, CP, start_idx, num_classes,
                         enc_quant=True, ablate=''):
     bt = mask_ref.shape[0]
     D = embed_ref.shape[1]
-    scale = 1.0 / (DK ** 0.5)
     cross_valid = mask_ref[:] > 0                           # (bt, TE)
     if not enc_quant:
         # bf16 enc-KV lives in HBM (pallas would double-buffer a VMEM grid
@@ -112,51 +123,48 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
     def step(t, onehot):
         x = jnp.dot(onehot.astype(jnp.bfloat16), embed_ref[:],
                     preferred_element_type=jnp.float32)      # (bt, D)
-        # Mosaic lowers no dynamic_slice: fetch the PE row via a one-hot
-        # contraction over the S axis instead
+        # Mosaic lowers no dynamic_slice on values: fetch the PE row via a
+        # one-hot contraction over the S axis instead
         s_onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) == t
                     ).astype(jnp.float32)
         pe_t = jnp.dot(s_onehot, pe_ref[:].astype(jnp.float32))   # (1, D)
         x = x + pe_t
         pos = jax.lax.broadcasted_iota(jnp.int32, (bt, T), 1)
         key_mask = pos <= t
+        HD = H * DK
+        CH = 8  # cache writes touch only the 8-slot chunk containing step
+        # t, via an 8-sublane-ALIGNED dynamic-slice store (Mosaic accepts
+        # tile-aligned ds stores; full-cache where-writes were ~38MB of
+        # VMEM traffic per step). T and SP are padded to multiples of 8.
+        chunk = t // CH
+        slot_c = (jax.lax.broadcasted_iota(
+            jnp.int32, (bt, CH, 2 * DK), 1) == t % CH)
         for l in range(L):
             # ---- self attention ----
-            y = _layernorm(x, ln1s_ref[l], ln1b_ref[l])
+            y = _ln_norm(x)
             qkv = jnp.dot(y.astype(jnp.bfloat16), wqkv_ref[l],
-                          preferred_element_type=jnp.float32)
-            HD = H * DK
-            CH = 8  # rewrite only the 8-slot chunk containing step t —
-            # full-cache where-writes were ~38MB of VMEM traffic per step
-            chunk = t // CH
-            slot_c = (jax.lax.broadcasted_iota(
-                jnp.int32, (bt, CH, 2 * DK), 1) == t % CH)
+                          preferred_element_type=jnp.float32) + bqkv_ref[l]
             for h in range(H):
                 k_h = qkv[:, HD + h * DK:HD + (h + 1) * DK]
                 v_h = qkv[:, 2 * HD + h * DK:2 * HD + (h + 1) * DK]
                 kv_h = jnp.concatenate([k_h, v_h], axis=-1)   # (bt, 2DK)
                 kv3 = jax.lax.broadcast_in_dim(kv_h, (bt, CH, 2 * DK),
                                                (0, 2))
-                for c in range((T + CH - 1) // CH):
-                    size = min(CH, T - c * CH)   # last chunk may be short
-
-                    @pl.when(chunk == c)
-                    def _write(l=l, h=h, c=c, size=size, kv3=kv3):
-                        blk = ckv_ref[l, :, h, c * CH:c * CH + size, :]
-                        ckv_ref[l, :, h, c * CH:c * CH + size, :] = jnp.where(
-                            slot_c[:, :size], kv3[:, :size],
-                            blk.astype(jnp.float32)).astype(ckv_ref.dtype)
+                blk = ckv_ref[l, :, h, pl.ds(chunk * CH, CH), :]
+                ckv_ref[l, :, h, pl.ds(chunk * CH, CH), :] = jnp.where(
+                    slot_c, kv3, blk.astype(jnp.float32)).astype(
+                    ckv_ref.dtype)
             if 'self' in ablate:
                 sa = qkv[:, :HD]
             else:
                 sa = _attend_block(qkv[:, :HD], ckv_ref[l], key_mask, H,
-                                   DK, scale)
+                                   DK, 1.0)
             x = x + jnp.dot(sa.astype(jnp.bfloat16), wfc1_ref[l],
                             preferred_element_type=jnp.float32)
             # ---- cross attention ----
-            y2 = _layernorm(x, ln2s_ref[l], ln2b_ref[l])
+            y2 = _ln_norm(x)
             q2 = jnp.dot(y2.astype(jnp.bfloat16), wq2_ref[l],
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32) + bq2_ref[l]
             if 'cross' in ablate:
                 ca = q2
             elif enc_quant:
@@ -165,14 +173,14 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
                 v_scales = [enc_scales_ref[(l * H + h) * 2 + 1]
                             for h in range(H)]
                 ca = _attend_block(q2, enc_kv_ref[l], cross_valid, H,
-                                   DK, scale, (k_scales, v_scales))
+                                   DK, 1.0, (k_scales, v_scales))
             else:
                 ca = _attend_block(q2, enc_vmem[:, l], cross_valid, H,
-                                   DK, scale)
+                                   DK, 1.0)
             x = x + jnp.dot(ca.astype(jnp.bfloat16), wfc2_ref[l],
                             preferred_element_type=jnp.float32)
             # ---- FFN ----
-            y3 = _layernorm(x, ln3s_ref[l], ln3b_ref[l])
+            y3 = _ln_norm(x)
             h1 = jnp.dot(y3.astype(jnp.bfloat16), w1_ref[l],
                          preferred_element_type=jnp.float32) + b1_ref[l]
             h1 = 0.5 * h1 * (1.0 + _erf(h1 * 0.7071067811865476))
@@ -181,20 +189,21 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
             x = x + h2
         # the decoder's FINAL LayerNorm uses eps=1e-6 (reference
         # nrtr_decoder.py:76 sets it explicitly; per-layer norms keep the
-        # torch default 1e-5)
-        xl = _layernorm(x, lnfs_ref[:], lnfb_ref[:], eps=1e-6)
+        # torch default 1e-5). Its scale/bias are folded into wcls/bcls.
+        xl = _ln_norm(x, eps=1e-6)
         logits = jnp.dot(xl.astype(jnp.bfloat16), wcls_ref[:],
                          preferred_element_type=jnp.float32) + bcls_ref[:]
         logits = jnp.where(cls_iota < num_classes, logits, NEG_INF)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         probs = e / jnp.sum(e, axis=-1, keepdims=True)       # (bt, CP)
-        # write this step's probs (one-hot masked write over the S axis)
-        s_slot = (jax.lax.broadcasted_iota(jnp.int32, (bt, S, CP), 1) == t)
-        p3 = jax.lax.broadcast_in_dim(probs, (bt, S, CP), (0, 2))
-        probs_ref[...] = jnp.where(
-            s_slot, p3, probs_ref[...].astype(jnp.float32)).astype(
-            probs_ref.dtype)
+        # write this step's probs into its 8-step chunk (aligned ds store)
+        s_slot = (jax.lax.broadcasted_iota(jnp.int32, (bt, CH, CP), 1)
+                  == t % CH)
+        p3 = jax.lax.broadcast_in_dim(probs, (bt, CH, CP), (0, 2))
+        pblk = probs_ref[:, pl.ds(chunk * CH, CH), :]
+        probs_ref[:, pl.ds(chunk * CH, CH), :] = jnp.where(
+            s_slot, p3, pblk.astype(jnp.float32)).astype(probs_ref.dtype)
         nxt = jnp.argmax(probs, axis=-1)
         return (cls_iota == nxt[:, None]).astype(jnp.float32)
 
@@ -253,16 +262,45 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
     D = weights['embed'].shape[1]
     CP = weights['wcls'].shape[1]
     DI = weights['w1'].shape[2]
-    T = S + 1
+    # cache length and probs length padded to the 8-sublane tile so the
+    # kernel's per-chunk dynamic-slice stores stay tile-aligned; the cache
+    # needs exactly S slots (steps write t <= S-1, attention reads
+    # pos <= t), so S=40 costs LESS VMEM than the old S+1=41 layout
+    T = ((S + 7) // 8) * 8
+    SP = T
     if bt is None:
         # batch-block override for perf probes (VMEM headroom experiments)
         import os
         bt = int(os.environ.get('TPS_FUSED_BT', '64'))
     bt = _fit_tile(N, bt)
     kernel = functools.partial(
-        _full_decode_kernel, L=L, H=H, T=T, TE=TE, DK=DK, S=S, CP=CP,
+        _full_decode_kernel, L=L, H=H, T=T, TE=TE, DK=DK, S=S, SP=SP, CP=CP,
         start_idx=start_idx, num_classes=num_classes, enc_quant=enc_quant,
         ablate=ablate)
+
+    # Fold each LayerNorm's affine (scale s, bias b) into the matmul that
+    # consumes it: y@W for y = norm*s + b equals norm@(s*W) + b@W. The
+    # attention 1/sqrt(dk) scale is folded into the q columns too. All
+    # folds are computed in f32 once per call, outside the decode loop.
+    f32 = jnp.float32
+    HDm = H * DK
+    qsc = 1.0 / (DK ** 0.5)
+    colscale = jnp.concatenate([
+        jnp.full((HDm,), qsc, f32), jnp.ones((2 * HDm,), f32)])
+    wqkv0 = weights['wqkv'].astype(f32)
+    wqkv = wqkv0 * jnp.swapaxes(weights['ln1_s'].astype(f32), 1, 2) * colscale
+    bqkv = jnp.matmul(weights['ln1_b'].astype(f32), wqkv0) * colscale
+    wq20 = weights['wq2'].astype(f32)
+    wq2 = wq20 * jnp.swapaxes(weights['ln2_s'].astype(f32), 1, 2) * qsc
+    bq2 = jnp.matmul(weights['ln2_b'].astype(f32), wq20) * qsc
+    w10 = weights['w1'].astype(f32)
+    w1 = w10 * jnp.swapaxes(weights['ln3_s'].astype(f32), 1, 2)
+    b1 = jnp.matmul(weights['ln3_b'].astype(f32), w10) + \
+        weights['b1'].astype(f32)
+    wcls0 = weights['wcls'].astype(f32)
+    wcls = wcls0 * weights['lnf_s'].astype(f32)[0][:, None]
+    bcls = weights['bcls'].astype(f32) + \
+        jnp.matmul(weights['lnf_b'].astype(f32), wcls0)
 
     def fixed(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -287,45 +325,34 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
                          memory_space=pltpu.VMEM),               # mask
             fixed((CP, D)),                                      # embed
             fixed((S, D)),                                       # pe
-            fixed((L, 1, D)), fixed((L, 1, D)),                  # ln1
-            fixed((L, D, 3 * H * DK)), fixed((L, H * DK, D)),    # qkv/fc1
-            fixed((L, 1, D)), fixed((L, 1, D)),                  # ln2
-            fixed((L, D, H * DK)), fixed((L, H * DK, D)),        # q2/fc2
-            fixed((L, 1, D)), fixed((L, 1, D)),                  # ln3
+            fixed((L, D, 3 * H * DK)), fixed((L, 1, 3 * H * DK)),  # qkv
+            fixed((L, H * DK, D)),                               # fc1
+            fixed((L, D, H * DK)), fixed((L, 1, H * DK)),        # q2
+            fixed((L, H * DK, D)),                               # fc2
             fixed((L, D, DI)), fixed((L, 1, DI)),                # w1/b1
             fixed((L, DI, D)), fixed((L, 1, D)),                 # w2/b2
-            fixed((1, D)), fixed((1, D)),                        # lnf
             fixed((D, CP)), fixed((1, CP)),                      # cls
             pl.BlockSpec(memory_space=pltpu.SMEM),               # enc scales
             enc_spec,                                            # enc_kv
         ],
-        out_specs=pl.BlockSpec((bt, S, CP), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((bt, SP, CP), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, S, CP), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, SP, CP), jnp.float32),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )(src_mask.astype(jnp.float32), weights['embed'].astype(jnp.bfloat16),
       weights['pe'].astype(jnp.float32),
-      weights['ln1_s'].astype(jnp.float32),
-      weights['ln1_b'].astype(jnp.float32),
-      weights['wqkv'].astype(jnp.bfloat16),
+      wqkv.astype(jnp.bfloat16), bqkv,
       weights['wfc1'].astype(jnp.bfloat16),
-      weights['ln2_s'].astype(jnp.float32),
-      weights['ln2_b'].astype(jnp.float32),
-      weights['wq2'].astype(jnp.bfloat16),
+      wq2.astype(jnp.bfloat16), bq2,
       weights['wfc2'].astype(jnp.bfloat16),
-      weights['ln3_s'].astype(jnp.float32),
-      weights['ln3_b'].astype(jnp.float32),
-      weights['w1'].astype(jnp.bfloat16), weights['b1'].astype(jnp.float32),
+      w1.astype(jnp.bfloat16), b1,
       weights['w2'].astype(jnp.bfloat16), weights['b2'].astype(jnp.float32),
-      weights['lnf_s'].astype(jnp.float32),
-      weights['lnf_b'].astype(jnp.float32),
-      weights['wcls'].astype(jnp.bfloat16),
-      weights['bcls'].astype(jnp.float32),
+      wcls.astype(jnp.bfloat16), bcls,
       scales.astype(jnp.float32), enc_arg)
-    return probs[:, :, :num_classes]
+    return probs[:, :S, :num_classes]
 
 
 def pack_decoder_weights(params, *, n_layers: int, d_model: int,
