@@ -47,3 +47,12 @@ def test_fused_matches_xla_path():
     np.testing.assert_allclose(np.asarray(rect), rect_ref, rtol=1e-4,
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(mp), mp_ref, rtol=1e-4, atol=1e-4)
+
+    # serving path: with_mp=False skips the (unconsumed) second warp and
+    # must leave the rectified feature bit-identical
+    rect2, mp2 = tps_grid_sample_fused(
+        jnp.asarray(feat_grid), jnp.asarray(batch_img), jnp.asarray(cp),
+        jnp.asarray(score), jnp.asarray(inv), jnp.asarray(P_hat),
+        jnp.asarray(P), (Hr, Wr), tile=64, interpret=True, with_mp=False)
+    assert mp2 is None
+    np.testing.assert_array_equal(np.asarray(rect2), np.asarray(rect))

@@ -317,10 +317,14 @@ class TPS_PP(nn.Module):
             sample_mode = 'gather'
         if sample_mode == 'pallas':
             from ...ops.pallas_tps import tps_grid_sample_fused
+            # with_mp=False: the reference computes a second warp of the
+            # stage-2 feature and returns it as 'mp_img' (tps_pp.py:611,
+            # :622) but NO code path consumes it — the serving kernel
+            # skips that warp (~2 ms at B=512)
             rect, mp_img = tps_grid_sample_fused(
                 feat_grid, batch_img, control_point.astype(jnp.float32),
                 pc_score.astype(jnp.float32), self.inv_delta_C, self.P_hat,
-                self.P, (Hr, Wr), tile=self.pallas_tile)
+                self.P, (Hr, Wr), tile=self.pallas_tile, with_mp=False)
         else:
             # grid math needs >= f32 (bf16 grids visibly misplace samples);
             # promote rather than hard-cast so f64 parity probes stay f64
@@ -340,7 +344,8 @@ class TPS_PP(nn.Module):
 
         return {
             'output': rect.astype(batch_img.dtype),
-            'mp_img': mp_img.astype(batch_img.dtype),
+            'mp_img': (None if mp_img is None
+                       else mp_img.astype(batch_img.dtype)),
             'pc_score': pc_score,
             'control_point': control_point,
         }

@@ -46,49 +46,40 @@ def _ln_norm(x, eps=1e-5):
     return (xf - mu) * jax.lax.rsqrt(var + eps)
 
 
-def _attend_block(q, kv, key_mask, H, DK, scale, kv_scales=None):
-    """Multi-head attention over the packed-KV block via batched
-    dot_general (fused multiply-reduce — a broadcast+mul+sum chain
-    materializes ~0.5MB of VMEM intermediates per head and was measured
-    VMEM-bandwidth-bound at ~8% of VPU peak).
+def _attend_allheads(q, kv, mask3, mk, mv, H, HD):
+    """ALL heads' attention in two batched 3D dot_generals.
 
-    q (bt, H*DK) f32, kv (bt, H, T, 2*DK) bf16 (K in [..., :DK], V in
-    [..., DK:] — packed so the 64-wide halves share one 128-lane tensor
-    instead of each padding to 128), key_mask (bt, T) bool."""
-    bt, T = key_mask.shape
-    out_cols = []
-    for h in range(H):
-        # Mosaic rejects unit-dim shape casts, so broadcast the single query
-        # row to the MXU's 8-sublane granularity (identical rows are free on
-        # the systolic array) and reduce back with a max
-        # broadcast in f32 (bf16 (2,1)-tiled broadcasts are an unsupported
-        # relayout in Mosaic), then narrow for the MXU dot
-        q_h = q[:, h * DK:(h + 1) * DK]
-        if scale != 1.0:
-            q_h = q_h * scale
-        if kv_scales is not None:
-            # int8 KV: fold the per-(layer, head) K scale into the query and
-            # the V scale into the softmax weights (scalar SMEM reads)
-            q_h = q_h * kv_scales[0][h]
-        q3 = jax.lax.broadcast_in_dim(q_h, (bt, 8, DK),
-                                      (0, 2)).astype(jnp.bfloat16)
-        scores = jnp.max(jax.lax.dot_general(
-            q3, kv[:, h, :, :DK].astype(jnp.bfloat16),
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32), axis=1)    # (bt, T)
-        scores = jnp.where(key_mask, scores, NEG_INF)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        w = e / jnp.sum(e, axis=-1, keepdims=True)
-        if kv_scales is not None:
-            w = w * kv_scales[1][h]
-        w3 = jax.lax.broadcast_in_dim(w, (bt, 8, T),
-                                      (0, 2)).astype(jnp.bfloat16)
-        out_cols.append(jnp.max(jax.lax.dot_general(
-            w3, kv[:, h, :, DK:].astype(jnp.bfloat16),
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32), axis=1))   # (bt, DK)
-    return jnp.concatenate(out_cols, axis=-1)      # (bt, H*DK)
+    The per-head loop this replaces issued 16 tiny MXU dots + 8 softmax
+    chains per attention; at (bt=64, DK=64) sizes the kernel is MXU-issue
+    bound, not FLOP bound, so op count is the cost model. Instead keep K
+    and V with every head in the lane axis (kv (bt, Tk, 2HD): K lanes
+    [:HD], V lanes [HD:], head h at lanes [h*DK,(h+1)*DK) of each half)
+    and make the head separation block-diagonal:
+
+      Qbd (bt, H, HD) = broadcast(q) * mk, mk[h, c] = 1 iff lane c belongs
+      to head h — so batched dot with K over the HD lanes yields every
+      head's scores at once (off-head lanes contribute exact zeros).
+
+    q (bt, HD) f32; kv (bt, Tk, 2HD) bf16; mask3 (bt, H, Tk) bool;
+    mk/mv (H, HD) f32 own-head lane masks — they also carry the int8
+    per-(layer, head) dequant scales (K scale folded into the query mask,
+    V scale into the output mask). Returns (bt, HD) f32 in the standard
+    concatenated-heads layout (mv re-selects each head's own lanes from
+    the over-wide value dot, summing out the H axis)."""
+    bt = q.shape[0]
+    qbd = (jax.lax.broadcast_in_dim(q, (bt, H, HD), (0, 2)) * mk
+           ).astype(jnp.bfloat16)
+    scores = jax.lax.dot_general(
+        qbd, kv[:, :, :HD], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                 # (bt, H, Tk)
+    scores = jnp.where(mask3, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+    out3 = jax.lax.dot_general(
+        w, kv[:, :, HD:], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                 # (bt, H, HD)
+    return jnp.sum(out3 * mv, axis=1)                       # (bt, HD)
 
 
 def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
@@ -96,17 +87,20 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
                         wq2_ref, bq2_ref, wfc2_ref,
                         w1_ref, b1_ref, w2_ref, b2_ref,
                         wcls_ref, bcls_ref,
-                        enc_scales_ref, enc_kv_ref,
+                        maskk_ref, maskv_ref, enc_kv_ref,
                         probs_ref, ckv_ref, enc_vmem=None, dma_sem=None, *,
                         L, H, T, TE, DK, S, SP, CP, start_idx, num_classes,
                         enc_quant=True, ablate=''):
     bt = mask_ref.shape[0]
     D = embed_ref.shape[1]
-    cross_valid = mask_ref[:] > 0                           # (bt, TE)
+    HD = H * DK
+    # encoder validity, broadcast over the head axis once
+    cross3 = jax.lax.broadcast_in_dim(
+        mask_ref[:], (bt, H, TE), (0, 2)) > 0               # (bt, H, TE)
     if not enc_quant:
         # bf16 enc-KV lives in HBM (pallas would double-buffer a VMEM grid
         # input — 2x the dominant tenant); copy this block's slice once via
-        # manual DMA. Layout (N, L, H, TE, 2DK): the batch slice is a
+        # manual DMA. Layout (N, L, TE, 2HD): the batch slice is a
         # leading-dim range, contiguous for the DMA engine.
         blk = pl.program_id(0)
         dma = pltpu.make_async_copy(
@@ -119,6 +113,10 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
 
     cls_iota = jax.lax.broadcasted_iota(jnp.int32, (bt, CP), 1)
     onehot0 = (cls_iota == start_idx).astype(jnp.float32)
+    # self-attention own-head lane mask (no scales): mk[h, c] = c//DK == h
+    hm = (jax.lax.broadcasted_iota(jnp.int32, (H, HD), 1) // DK ==
+          jax.lax.broadcasted_iota(jnp.int32, (H, HD), 0)
+          ).astype(jnp.float32)
 
     def step(t, onehot):
         x = jnp.dot(onehot.astype(jnp.bfloat16), embed_ref[:],
@@ -129,36 +127,31 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
                     ).astype(jnp.float32)
         pe_t = jnp.dot(s_onehot, pe_ref[:].astype(jnp.float32))   # (1, D)
         x = x + pe_t
-        pos = jax.lax.broadcasted_iota(jnp.int32, (bt, T), 1)
-        key_mask = pos <= t
-        HD = H * DK
+        key3 = jax.lax.broadcasted_iota(jnp.int32, (bt, H, T), 2) <= t
         CH = 8  # cache writes touch only the 8-slot chunk containing step
         # t, via an 8-sublane-ALIGNED dynamic-slice store (Mosaic accepts
         # tile-aligned ds stores; full-cache where-writes were ~38MB of
         # VMEM traffic per step). T and SP are padded to multiples of 8.
         chunk = t // CH
         slot_c = (jax.lax.broadcasted_iota(
-            jnp.int32, (bt, CH, 2 * DK), 1) == t % CH)
+            jnp.int32, (bt, CH, 2 * HD), 1) == t % CH)
         for l in range(L):
             # ---- self attention ----
             y = _ln_norm(x)
             qkv = jnp.dot(y.astype(jnp.bfloat16), wqkv_ref[l],
                           preferred_element_type=jnp.float32) + bqkv_ref[l]
-            for h in range(H):
-                k_h = qkv[:, HD + h * DK:HD + (h + 1) * DK]
-                v_h = qkv[:, 2 * HD + h * DK:2 * HD + (h + 1) * DK]
-                kv_h = jnp.concatenate([k_h, v_h], axis=-1)   # (bt, 2DK)
-                kv3 = jax.lax.broadcast_in_dim(kv_h, (bt, CH, 2 * DK),
-                                               (0, 2))
-                blk = ckv_ref[l, :, h, pl.ds(chunk * CH, CH), :]
-                ckv_ref[l, :, h, pl.ds(chunk * CH, CH), :] = jnp.where(
-                    slot_c, kv3, blk.astype(jnp.float32)).astype(
-                    ckv_ref.dtype)
+            # one cache write for ALL heads: qkv's K|V columns are already
+            # the cache's (2HD) lane layout
+            kv3 = jax.lax.broadcast_in_dim(qkv[:, HD:], (bt, CH, 2 * HD),
+                                           (0, 2))
+            blkc = ckv_ref[l, :, pl.ds(chunk * CH, CH), :]
+            ckv_ref[l, :, pl.ds(chunk * CH, CH), :] = jnp.where(
+                slot_c, kv3, blkc.astype(jnp.float32)).astype(ckv_ref.dtype)
             if 'self' in ablate:
                 sa = qkv[:, :HD]
             else:
-                sa = _attend_block(qkv[:, :HD], ckv_ref[l], key_mask, H,
-                                   DK, 1.0)
+                sa = _attend_allheads(qkv[:, :HD], ckv_ref[l], key3,
+                                      hm, hm, H, HD)
             x = x + jnp.dot(sa.astype(jnp.bfloat16), wfc1_ref[l],
                             preferred_element_type=jnp.float32)
             # ---- cross attention ----
@@ -167,16 +160,11 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
                          preferred_element_type=jnp.float32) + bq2_ref[l]
             if 'cross' in ablate:
                 ca = q2
-            elif enc_quant:
-                k_scales = [enc_scales_ref[(l * H + h) * 2]
-                            for h in range(H)]
-                v_scales = [enc_scales_ref[(l * H + h) * 2 + 1]
-                            for h in range(H)]
-                ca = _attend_block(q2, enc_kv_ref[l], cross_valid, H,
-                                   DK, 1.0, (k_scales, v_scales))
             else:
-                ca = _attend_block(q2, enc_vmem[:, l], cross_valid, H,
-                                   DK, 1.0)
+                kvx = (enc_kv_ref[l].astype(jnp.bfloat16) if enc_quant
+                       else enc_vmem[:, l])
+                ca = _attend_allheads(q2, kvx, cross3,
+                                      maskk_ref[l], maskv_ref[l], H, HD)
             x = x + jnp.dot(ca.astype(jnp.bfloat16), wfc2_ref[l],
                             preferred_element_type=jnp.float32)
             # ---- FFN ----
@@ -235,30 +223,40 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
       pe (S, D) f32.
     Returns (N, S, num_classes) f32 per-step softmax probabilities.
     """
-    enc_kv = jnp.concatenate([enc_k, enc_v], axis=-1)   # (L,N,H,TE,2DK)
     L, N, H, TE, DK = enc_k.shape
+    HD = H * DK
+    # every head in the lane axis: (L, N, TE, HD) per half, K|V packed in
+    # one 2HD-lane tensor (see _attend_allheads)
+    enc_kv = jnp.concatenate([
+        jnp.transpose(enc_k, (0, 1, 3, 2, 4)).reshape(L, N, TE, HD),
+        jnp.transpose(enc_v, (0, 1, 3, 2, 4)).reshape(L, N, TE, HD)],
+        axis=-1)                                           # (L,N,TE,2HD)
+    # own-head lane masks for the block-diagonal attention; the int8
+    # per-(layer, head) dequant scales fold into them (bf16 path: scale 1)
+    hm = (np.arange(HD)[None, :] // DK ==
+          np.arange(H)[:, None]).astype(np.float32)        # (H, HD)
     enc_quant = enc_dtype == 'int8'
     if enc_quant:
         # int8-quantize the encoder K/V with per-(layer, head) absmax
         # scales — halves the dominant VMEM tenant so batch blocks of 64 fit
         # (full 128-row MXU sublane utilization needs bt >= 64)
-        enc_absmax = jnp.max(jnp.abs(enc_kv.astype(jnp.float32)),
-                             axis=(1, 3))                  # (L, H, 2DK)
-        k_scale = jnp.max(enc_absmax[..., :DK], axis=-1) / 127.0 + 1e-8
-        v_scale = jnp.max(enc_absmax[..., DK:], axis=-1) / 127.0 + 1e-8
+        k_scale = jnp.max(jnp.abs(enc_k.astype(jnp.float32)),
+                          axis=(1, 3, 4)) / 127.0 + 1e-8   # (L, H)
+        v_scale = jnp.max(jnp.abs(enc_v.astype(jnp.float32)),
+                          axis=(1, 3, 4)) / 127.0 + 1e-8
         denom = jnp.concatenate([
-            jnp.repeat(k_scale[..., None], DK, -1),
-            jnp.repeat(v_scale[..., None], DK, -1)], axis=-1)  # (L,H,2DK)
+            jnp.repeat(k_scale, DK, axis=-1),
+            jnp.repeat(v_scale, DK, axis=-1)], axis=-1)    # (L, 2HD)
         enc_arg = jnp.clip(jnp.round(
-            enc_kv.astype(jnp.float32) / denom[:, None, :, None, :]),
+            enc_kv.astype(jnp.float32) / denom[:, None, None, :]),
             -127, 127).astype(jnp.int8)
-        scales = jnp.stack([k_scale, v_scale],
-                           axis=-1).reshape(-1)            # (L*H*2,)
+        maskk = hm[None] * k_scale[:, :, None]             # (L, H, HD)
+        maskv = hm[None] * v_scale[:, :, None]
     else:
         # bf16 enc-KV, batch-major so each block's slice is one contiguous
         # leading-dim range for the in-kernel DMA
-        enc_arg = jnp.transpose(enc_kv, (1, 0, 2, 3, 4)).astype(jnp.bfloat16)
-        scales = jnp.ones((L * H * 2,), jnp.float32)       # unused
+        enc_arg = jnp.transpose(enc_kv, (1, 0, 2, 3)).astype(jnp.bfloat16)
+        maskk = maskv = jnp.broadcast_to(hm[None], (L, H, HD))
     D = weights['embed'].shape[1]
     CP = weights['wcls'].shape[1]
     DI = weights['w1'].shape[2]
@@ -307,14 +305,14 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
                             memory_space=pltpu.VMEM)
 
     if enc_quant:
-        enc_spec = pl.BlockSpec((L, bt, H, TE, 2 * DK),
-                                lambda i: (0, i, 0, 0, 0),
+        enc_spec = pl.BlockSpec((L, bt, TE, 2 * HDm),
+                                lambda i: (0, i, 0, 0),
                                 memory_space=pltpu.VMEM)
-        scratch = [pltpu.VMEM((L, bt, H, T, 2 * DK), jnp.bfloat16)]
+        scratch = [pltpu.VMEM((L, bt, T, 2 * HDm), jnp.bfloat16)]
     else:
         enc_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-        scratch = [pltpu.VMEM((L, bt, H, T, 2 * DK), jnp.bfloat16),
-                   pltpu.VMEM((bt, L, H, TE, 2 * DK), jnp.bfloat16),
+        scratch = [pltpu.VMEM((L, bt, T, 2 * HDm), jnp.bfloat16),
+                   pltpu.VMEM((bt, L, TE, 2 * HDm), jnp.bfloat16),
                    pltpu.SemaphoreType.DMA(())]
     grid = (N // bt,)
     probs = pl.pallas_call(
@@ -332,7 +330,7 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
             fixed((L, D, DI)), fixed((L, 1, DI)),                # w1/b1
             fixed((L, DI, D)), fixed((L, 1, D)),                 # w2/b2
             fixed((D, CP)), fixed((1, CP)),                      # cls
-            pl.BlockSpec(memory_space=pltpu.SMEM),               # enc scales
+            fixed((L, H, HDm)), fixed((L, H, HDm)),              # head masks
             enc_spec,                                            # enc_kv
         ],
         out_specs=pl.BlockSpec((bt, SP, CP), lambda i: (i, 0, 0),
@@ -351,7 +349,7 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
       w1.astype(jnp.bfloat16), b1,
       weights['w2'].astype(jnp.bfloat16), weights['b2'].astype(jnp.float32),
       wcls.astype(jnp.bfloat16), bcls,
-      scales.astype(jnp.float32), enc_arg)
+      maskk.astype(jnp.float32), maskv.astype(jnp.float32), enc_arg)
     return probs[:, :S, :num_classes]
 
 

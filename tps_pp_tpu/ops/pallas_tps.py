@@ -79,15 +79,18 @@ def _kernel(cp_ref, score_ref, fg_ref, img_ref, inv_ref, phat_ref, p_ref,
         out_ref[0] = out.astype(out_ref.dtype)
 
     sample(fg_ref, Hg, Wg, rect_ref)
-    sample(img_ref, Hi, Wi, mp_ref)
+    if mp_ref is not None:
+        sample(img_ref, Hi, Wi, mp_ref)
 
 
-@functools.partial(jax.jit, static_argnames=('out_hw', 'tile', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('out_hw', 'tile', 'interpret',
+                                             'with_mp'))
 def tps_grid_sample_fused(feat_grid: jax.Array, batch_img: jax.Array,
                           control_point: jax.Array, pc_score: jax.Array,
                           inv_delta_C: jax.Array, P_hat: jax.Array,
                           P: jax.Array, out_hw: Tuple[int, int],
-                          tile: int = 256, interpret: bool = False):
+                          tile: int = 256, interpret: bool = False,
+                          with_mp: bool = True):
     """Fused rectification.
 
     Args:
@@ -96,7 +99,12 @@ def tps_grid_sample_fused(feat_grid: jax.Array, batch_img: jax.Array,
       control_point: (N, F, 2); pc_score: (N, n, F) with n = Hr*Wr.
       inv_delta_C: (F+3, F+3); P_hat: (n, F); P: (n, 2) — static TPS mats.
       out_hw: (Hr, Wr).
-    Returns: (rect (N,Hr,Wr,C), mp (N,Hr,Wr,C)).
+      with_mp: also warp ``batch_img`` (the reference's second
+        ``F.grid_sample``, tps_pp.py:611-615). NOTHING consumes that
+        output — the reference returns it as 'mp_img' and no caller reads
+        it — so the serving path skips the warp (~25% of the kernel's
+        interp-matrix construction + matmul work).
+    Returns: (rect (N,Hr,Wr,C), mp (N,Hr,Wr,C) or None).
     """
     N, Hg, Wg, C = feat_grid.shape
     _, Hi, Wi, _ = batch_img.shape
@@ -109,8 +117,11 @@ def tps_grid_sample_fused(feat_grid: jax.Array, batch_img: jax.Array,
     f32 = jnp.float32
     kernel = functools.partial(_kernel, Hg=Hg, Wg=Wg, Hi=Hi, Wi=Wi, C=C,
                                TILE=tile)
+    if not with_mp:
+        kernel = functools.partial(
+            lambda _k, *refs: _k(*refs, None), kernel)
     grid = (N, n // tile)
-    rect, mp = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -131,13 +142,12 @@ def tps_grid_sample_fused(feat_grid: jax.Array, batch_img: jax.Array,
         out_specs=[
             pl.BlockSpec((1, tile, C), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, C), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec((1, tile, C), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)] if with_mp else []),
         out_shape=[
             jax.ShapeDtypeStruct((N, n, C), feat_grid.dtype),
-            jax.ShapeDtypeStruct((N, n, C), batch_img.dtype),
-        ],
+        ] + ([jax.ShapeDtypeStruct((N, n, C), batch_img.dtype)]
+             if with_mp else []),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * N * n * (Fd + 3) * 2 + 2 * N * n * (Hg + Hi) * C,
@@ -147,4 +157,6 @@ def tps_grid_sample_fused(feat_grid: jax.Array, batch_img: jax.Array,
     )(control_point.astype(f32), pc_score.astype(f32),
       feat_grid.reshape(N, Hg * Wg, C), batch_img.reshape(N, Hi * Wi, C),
       inv_delta_C.astype(f32), P_hat.astype(f32)[None], P.astype(f32)[None])
-    return (rect.reshape(N, Hr, Wr, C), mp.reshape(N, Hr, Wr, C))
+    rect = outs[0].reshape(N, Hr, Wr, C)
+    mp = outs[1].reshape(N, Hr, Wr, C) if with_mp else None
+    return rect, mp
