@@ -29,15 +29,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_decode import _erf, _layernorm
+from .pallas_full_decode import _ln_norm
 
 NEG_INF = -1e9
 
 
 def _encoder_kernel(mask_ref, x_ref,
-                    ln1s_ref, ln1b_ref, wqkv_ref, wfc_ref,
-                    ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    wqkv_ref, bqkv_ref, wfc_ref,
+                    w1_ref, b1_ref, w2_ref, b2_ref,
                     lnfs_ref, lnfb_ref, out_ref, *,
-                    L, H, T, DK, scale):
+                    L, H, T, DK):
     cdt = wqkv_ref.dtype                     # matmul compute dtype
     R = x_ref.shape[0]                       # bi * T rows
     x = x_ref[:].astype(jnp.float32)
@@ -48,12 +49,15 @@ def _encoder_kernel(mask_ref, x_ref,
     attend = (row_img == col_img) & valid
     HD = H * DK
     for l in range(L):
-        y = _layernorm(x, ln1s_ref[l], ln1b_ref[l])
+        # per-layer LN affines + the attention 1/sqrt(dk) are folded into
+        # the adjacent matmul weights/biases host-side (fused_encoder_
+        # forward) — same trick as the decode kernel's _ln_norm
+        y = _ln_norm(x)
         qkv = jnp.dot(y.astype(cdt), wqkv_ref[l],
-                      preferred_element_type=jnp.float32)      # (R, 3HD)
+                      preferred_element_type=jnp.float32) + bqkv_ref[l]
         heads = []
         for h in range(H):
-            q_h = (qkv[:, h * DK:(h + 1) * DK] * scale).astype(cdt)
+            q_h = qkv[:, h * DK:(h + 1) * DK].astype(cdt)
             k_h = qkv[:, HD + h * DK:HD + (h + 1) * DK].astype(cdt)
             v_h = qkv[:, 2 * HD + h * DK:2 * HD + (h + 1) * DK].astype(
                 cdt)
@@ -69,7 +73,7 @@ def _encoder_kernel(mask_ref, x_ref,
         sa = jnp.concatenate(heads, axis=-1)                   # (R, HD)
         x = x + jnp.dot(sa.astype(cdt), wfc_ref[l],
                         preferred_element_type=jnp.float32)
-        y2 = _layernorm(x, ln2s_ref[l], ln2b_ref[l])
+        y2 = _ln_norm(x)
         h1 = jnp.dot(y2.astype(cdt), w1_ref[l],
                      preferred_element_type=jnp.float32) + b1_ref[l]
         h1 = 0.5 * h1 * (1.0 + _erf(h1 * 0.7071067811865476))
@@ -115,8 +119,23 @@ def fused_encoder_forward(x, mask, weights, *, T: int, H: int = 8,
         mask2 = jnp.ones((1, N * T), jnp.float32)
     else:
         mask2 = mask.reshape(1, N * T).astype(jnp.float32)
-    kernel = functools.partial(_encoder_kernel, L=L, H=H, T=T, DK=DK,
-                               scale=1.0 / (DK ** 0.5))
+    kernel = functools.partial(_encoder_kernel, L=L, H=H, T=T, DK=DK)
+
+    # fold each LayerNorm affine (scale s, bias b) into the matmul that
+    # consumes it — y@W for y = norm*s + b equals norm@(s*W) + b@W — and
+    # the attention 1/sqrt(dk) into the q columns (same as the decode
+    # kernel); all folds in f32 once per call
+    f32 = jnp.float32
+    qsc = 1.0 / (DK ** 0.5)
+    colscale = jnp.concatenate([
+        jnp.full((HD,), qsc, f32), jnp.ones((2 * HD,), f32)])
+    wqkv0 = weights['wqkv'].astype(f32)
+    wqkv = wqkv0 * jnp.swapaxes(weights['ln1_s'].astype(f32), 1, 2) * colscale
+    bqkv = jnp.matmul(weights['ln1_b'].astype(f32), wqkv0) * colscale
+    w10 = weights['w1'].astype(f32)
+    w1 = w10 * jnp.swapaxes(weights['ln2_s'].astype(f32), 1, 2)
+    b1 = jnp.matmul(weights['ln2_b'].astype(f32), w10) + \
+        weights['b1'].astype(f32)
 
     def fixed(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -130,9 +149,8 @@ def fused_encoder_forward(x, mask, weights, *, T: int, H: int = 8,
                          memory_space=pltpu.VMEM),             # mask
             pl.BlockSpec((R, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),             # x
-            fixed((L, 1, D)), fixed((L, 1, D)),                # ln1
-            fixed((L, D, 3 * HD)), fixed((L, HD, D)),          # qkv / fc
-            fixed((L, 1, D)), fixed((L, 1, D)),                # ln2
+            fixed((L, D, 3 * HD)), fixed((L, 1, 3 * HD)),      # qkv
+            fixed((L, HD, D)),                                 # fc
             fixed((L, D, DI)), fixed((L, 1, DI)),              # w1 / b1
             fixed((L, DI, D)), fixed((L, 1, D)),               # w2 / b2
             fixed((1, D)), fixed((1, D)),                      # lnf
@@ -144,14 +162,9 @@ def fused_encoder_forward(x, mask, weights, *, T: int, H: int = 8,
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )(mask2, x2,
-      weights['ln1_s'].astype(jnp.float32),
-      weights['ln1_b'].astype(jnp.float32),
-      weights['wqkv'].astype(cdt),
+      wqkv.astype(cdt), bqkv,
       weights['wfc'].astype(cdt),
-      weights['ln2_s'].astype(jnp.float32),
-      weights['ln2_b'].astype(jnp.float32),
-      weights['w1'].astype(cdt),
-      weights['b1'].astype(jnp.float32),
+      w1.astype(cdt), b1,
       weights['w2'].astype(cdt),
       weights['b2'].astype(jnp.float32),
       weights['lnf_s'].astype(jnp.float32),

@@ -111,6 +111,8 @@ def tps_grid_sample_fused(feat_grid: jax.Array, batch_img: jax.Array,
     Hr, Wr = out_hw
     n = Hr * Wr
     Fd = control_point.shape[1]
+    import os
+    tile = int(os.environ.get('TPS_SAMPLER_TILE', tile))  # perf knob
     tile = min(tile, n)
     assert n % tile == 0, (n, tile)
 
