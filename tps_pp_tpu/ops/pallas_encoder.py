@@ -87,7 +87,7 @@ def _encoder_kernel(mask_ref, x_ref,
 @functools.partial(jax.jit, static_argnames=('T', 'H', 'bi', 'interpret',
                                              'compute_dtype'))
 def fused_encoder_forward(x, mask, weights, *, T: int, H: int = 8,
-                          bi: int = 16, interpret: bool = False,
+                          bi: int = 2, interpret: bool = False,
                           compute_dtype: str = 'bfloat16'):
     """Run the whole NRTR encoder in one pallas kernel.
 
@@ -104,7 +104,9 @@ def fused_encoder_forward(x, mask, weights, *, T: int, H: int = 8,
     import os
     bi = int(os.environ.get('TPS_ENC_BI', bi))  # images/block perf knob:
     # smaller bi shrinks the block-diagonal attention overcompute
-    # (FLOPs ~ bi per row) at the cost of more grid steps
+    # (FLOPs ~ bi per row) at the cost of more grid steps; measured at
+    # B=512 flagship: bi=16 44.3 ms, 8 42.9, 4 42.7, 2 41.6 (feat+encoder
+    # prefix; bi=1 trips an MLIR lowering bug in this jax build)
     cdt = jnp.dtype(compute_dtype)
     L = weights['wqkv'].shape[0]
     HD = weights['wfc'].shape[1]
