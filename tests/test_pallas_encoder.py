@@ -42,3 +42,17 @@ def test_fused_encoder_matches_xla(monkeypatch):
     ref_nm = np.asarray(enc.apply(v, feat))
     got_nm = np.asarray(enc.apply(v, feat, fused=True))
     np.testing.assert_allclose(got_nm, ref_nm, atol=2e-5, rtol=1e-4)
+
+    # odd and singleton batches: must route through the masked-padding
+    # path (bi=1 trips an MLIR lowering bug on TPU, so the kernel pads to
+    # bi=2 and slices) rather than a bi=1 grid
+    for n in (5, 1):
+        featn, vrn = feat[:n], vr[:n]
+        refn = np.asarray(enc.apply(v, featn, valid_ratio=vrn))
+        gotn = np.asarray(enc.apply(v, featn, valid_ratio=vrn, fused=True))
+        assert gotn.shape == refn.shape
+        np.testing.assert_allclose(gotn, refn, atol=2e-5, rtol=1e-4)
+        # no-mask variant of the same shapes
+        refn = np.asarray(enc.apply(v, featn))
+        gotn = np.asarray(enc.apply(v, featn, fused=True))
+        np.testing.assert_allclose(gotn, refn, atol=2e-5, rtol=1e-4)

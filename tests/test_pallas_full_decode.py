@@ -48,3 +48,14 @@ def test_full_decode_kernel_matches_xla_greedy(monkeypatch):
     gp = np.take_along_axis(got, idx[..., None], -1)
     rp = np.take_along_axis(ref_probs, idx[..., None], -1)
     np.testing.assert_allclose(gp, rp, atol=5e-3)
+
+    # odd and singleton batches route through the 8-sublane batch padding
+    # (a prime batch would otherwise drive the batch block to bt=1)
+    for n in (3, 1):
+        gotn = np.asarray(mod.apply(v, None, out_enc[:n], vr[:n],
+                                    method='fused_full_decode'))
+        assert gotn.shape == (n,) + ref_probs.shape[1:]
+        np.testing.assert_array_equal(gotn.argmax(-1),
+                                      ref_probs[:n].argmax(-1))
+        np.testing.assert_allclose(gotn, ref_probs[:n], atol=2e-2,
+                                   rtol=5e-2)

@@ -187,13 +187,31 @@ class TextRecognizer:
         return self.module.apply(variables, img, valid_ratio,
                                  method='forward_test_nar')
 
-    def predict(self, variables, img, valid_ratio=None):
-        """Jitted device forward: (N,H,W,C) -> (N, T, C') scores."""
+    def predict(self, variables, img, valid_ratio=None,
+                bucket_batch: bool = True):
+        """Jitted device forward: (N,H,W,C) -> (N, T, C') scores.
+
+        ``bucket_batch`` pads the batch up to the next power of two before
+        the jitted call and slices the result back. XLA compiles one
+        program per input shape, and detection produces a different crop
+        count per image — without bucketing, serving would recompile the
+        full model for every distinct N (minutes per compile on TPU).
+        Bucketing bounds the cache to log2(N_max) programs. The torch
+        reference needs no analog (dynamic batch is free in eager CUDA).
+        """
+        n = int(img.shape[0])
+        if valid_ratio is None:
+            valid_ratio = jnp.ones((n,), jnp.float32)
+        if bucket_batch and n & (n - 1):          # not a power of two
+            m = 1 << (n - 1).bit_length()
+            img = jnp.concatenate(
+                [img, jnp.zeros((m - n,) + img.shape[1:], img.dtype)])
+            valid_ratio = jnp.concatenate(
+                [valid_ratio, jnp.ones((m - n,), valid_ratio.dtype)])
         if self._predict_jit is None:
             self._predict_jit = jax.jit(self._predict_impl)
-        if valid_ratio is None:
-            valid_ratio = jnp.ones((img.shape[0],), jnp.float32)
-        return self._predict_jit(variables, img, valid_ratio)
+        out = self._predict_jit(variables, img, valid_ratio)
+        return jax.tree.map(lambda x: x[:n], out)
 
     def simple_test(self, variables, img, valid_ratio=None, img_metas=None):
         """Full test path incl. host-side decoding -> [{'text','score'}]

@@ -113,8 +113,21 @@ def fused_encoder_forward(x, mask, weights, *, T: int, H: int = 8,
     assert HD % H == 0
     DK = HD // H
     DI = weights['w1'].shape[2]
-    while N % bi:
+    while N % bi and bi > 1:
         bi -= 1
+    n_orig = N
+    if bi == 1:
+        # bi=1 trips an MLIR lowering bug in this jax build — pad the
+        # batch to even with masked dummy images instead (block-diagonal
+        # attention keeps them from touching real rows) and slice after
+        bi = 2
+        pad_n = (-N) % bi
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad_n, T, D), x.dtype)], axis=0)
+        if mask is not None:
+            mask = jnp.concatenate(
+                [mask, jnp.zeros((pad_n, T), mask.dtype)], axis=0)
+        N += pad_n
     R = bi * T
     x2 = x.reshape(N * T, D)
     if mask is None:
@@ -171,4 +184,4 @@ def fused_encoder_forward(x, mask, weights, *, T: int, H: int = 8,
       weights['b2'].astype(jnp.float32),
       weights['lnf_s'].astype(jnp.float32),
       weights['lnf_b'].astype(jnp.float32))
-    return out.reshape(N, T, D)
+    return out.reshape(N, T, D)[:n_orig]

@@ -31,7 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_decode import _erf, _fit_tile
+from .pallas_decode import _erf
 
 NEG_INF = -1e9
 
@@ -224,6 +224,20 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
     Returns (N, S, num_classes) f32 per-step softmax probabilities.
     """
     L, N, H, TE, DK = enc_k.shape
+    n_orig = N
+    if N % 8:
+        # pad the batch to the 8-sublane tile: odd/tiny batches would
+        # otherwise drive the batch block below sublane granularity
+        # (bt=1 for prime N). Padded rows carry an all-invalid src_mask
+        # and are sliced off the result.
+        pad_n = (-N) % 8
+        enc_k = jnp.concatenate(
+            [enc_k, jnp.zeros((L, pad_n, H, TE, DK), enc_k.dtype)], axis=1)
+        enc_v = jnp.concatenate(
+            [enc_v, jnp.zeros((L, pad_n, H, TE, DK), enc_v.dtype)], axis=1)
+        src_mask = jnp.concatenate(
+            [src_mask, jnp.zeros((pad_n, TE), src_mask.dtype)], axis=0)
+        N += pad_n
     HD = H * DK
     # every head in the lane axis: (L, N, TE, HD) per half, K|V packed in
     # one 2HD-lane tensor (see _attend_allheads)
@@ -270,7 +284,12 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
         # batch-block override for perf probes (VMEM headroom experiments)
         import os
         bt = int(os.environ.get('TPS_FUSED_BT', '64'))
-    bt = _fit_tile(N, bt)
+    # N is a multiple of 8 here; keep the block a multiple of 8 too so
+    # the per-block shapes stay sublane-aligned (prefer the largest such
+    # divisor <= bt)
+    bt = max(8, min(bt, N) // 8 * 8)
+    while N % bt:                      # terminates: 8 divides N
+        bt -= 8
     kernel = functools.partial(
         _full_decode_kernel, L=L, H=H, T=T, TE=TE, DK=DK, S=S, SP=SP, CP=CP,
         start_idx=start_idx, num_classes=num_classes, enc_quant=enc_quant,
@@ -350,7 +369,7 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
       weights['w2'].astype(jnp.bfloat16), weights['b2'].astype(jnp.float32),
       wcls.astype(jnp.bfloat16), bcls,
       maskk.astype(jnp.float32), maskv.astype(jnp.float32), enc_arg)
-    return probs[:, :S, :num_classes]
+    return probs[:n_orig, :S, :num_classes]
 
 
 def pack_decoder_weights(params, *, n_layers: int, d_model: int,
