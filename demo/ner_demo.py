@@ -12,6 +12,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from tps_pp_tpu.utils.platform import apply_jax_platform_env
+    apply_jax_platform_env()   # honor JAX_PLATFORMS despite the axon plugin
     p = argparse.ArgumentParser(description='NER demo')
     p.add_argument('config', nargs='?',
                    default='configs/ner/bert_softmax/'

@@ -28,6 +28,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def main():
+    from tps_pp_tpu.utils.platform import apply_jax_platform_env
+    apply_jax_platform_env()   # honor JAX_PLATFORMS despite the axon plugin
     p = argparse.ArgumentParser()
     p.add_argument('mode', choices=['export', 'aot', 'test'])
     p.add_argument('config')

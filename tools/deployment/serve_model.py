@@ -116,6 +116,8 @@ def make_handler(model: _Model, name: str):
 
 
 def main():
+    from tps_pp_tpu.utils.platform import apply_jax_platform_env
+    apply_jax_platform_env()   # honor JAX_PLATFORMS despite the axon plugin
     p = argparse.ArgumentParser()
     p.add_argument('config')
     p.add_argument('--checkpoint', default=None)

@@ -125,6 +125,8 @@ def _eval_kie_ner(cfg, args):
 
 
 def main():
+    from tps_pp_tpu.utils.platform import apply_jax_platform_env
+    apply_jax_platform_env()   # honor JAX_PLATFORMS despite the axon plugin
     logging.basicConfig(level=logging.INFO,
                         format='%(asctime)s %(levelname)s %(message)s')
     args = parse_args()

@@ -34,6 +34,9 @@ def main():
                         format='%(asctime)s %(levelname)s %(message)s')
     args = parse_args()
 
+    from tps_pp_tpu.utils.platform import apply_jax_platform_env
+    apply_jax_platform_env()   # honor JAX_PLATFORMS despite the axon plugin
+
     if os.environ.get('JAX_COORDINATOR_ADDRESS'):
         import jax
         jax.distributed.initialize()
