@@ -56,3 +56,18 @@ def test_fused_matches_xla_path():
         jnp.asarray(P), (Hr, Wr), tile=64, interpret=True, with_mp=False)
     assert mp2 is None
     np.testing.assert_array_equal(np.asarray(rect2), np.asarray(rect))
+
+    # the two-stage variant (W-contraction over transposed features + H
+    # reduction) must match the same XLA reference
+    import os
+    os.environ['TPS_SAMPLER_VARIANT'] = 'twostage'
+    try:
+        rect3, mp3 = tps_grid_sample_fused(
+            jnp.asarray(feat_grid), jnp.asarray(batch_img), jnp.asarray(cp),
+            jnp.asarray(score), jnp.asarray(inv), jnp.asarray(P_hat),
+            jnp.asarray(P), (Hr, Wr), tile=64, interpret=True)
+    finally:
+        del os.environ['TPS_SAMPLER_VARIANT']
+    np.testing.assert_allclose(np.asarray(rect3), rect_ref, rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mp3), mp_ref, rtol=1e-4, atol=1e-4)

@@ -83,14 +83,100 @@ def _kernel(cp_ref, score_ref, fg_ref, img_ref, inv_ref, phat_ref, p_ref,
         sample(img_ref, Hi, Wi, mp_ref)
 
 
+def _kernel_twostage(cp_ref, score_ref, fg_ref, img_ref, inv_ref, phat_ref,
+                     p_ref, rect_ref, mp_ref, *, Hg, Wg, Hi, Wi, C, TILE):
+    """Two-stage bilinear warp: contract W first, then reduce H.
+
+    The dense kernel builds the (TILE, H*W) interpolation matrix on the
+    VPU (its hot spot: ~9 elementwise ops x TILE x H*W) and feeds a
+    half-lane-utilized (TILE, H*W) @ (H*W, C) matmul. Here the feature
+    map arrives pre-transposed as (W, H*C), so stage 1 is a single
+    full-utilization MXU contraction with only a (TILE, W) hat matrix to
+    build, and stage 2 reduces the H axis with lane-aligned paired-h
+    multiplies plus a constant fold matmul. Same math, same edge
+    semantics (align_corners + border clamp), ~10x less VPU work.
+    """
+    cp = cp_ref[0]                      # (F, 2)
+    score = score_ref[0]                # (TILE, F)
+    phat = phat_ref[0]                  # (TILE, F)
+    p = p_ref[0]                        # (TILE, 2)
+    inv = inv_ref[:]                    # (F+3, F+3)
+
+    cp_full = jnp.concatenate([cp, jnp.zeros((3, 2), jnp.float32)], axis=0)
+    T = jnp.dot(inv, cp_full, preferred_element_type=jnp.float32)
+    phat_mod = phat * (score * THETA + 1.0)
+    ones = jnp.ones((TILE, 1), jnp.float32)
+    phat_full = jnp.concatenate([ones, p, phat_mod], axis=1)
+    pprime = jnp.dot(phat_full, T,
+                     preferred_element_type=jnp.float32)      # (TILE, 2)
+
+    def sample(srcp_ref, H, W, out_ref):
+        # srcp holds the map as (W, H*C): srcp[w, h*C+c] = src[h, w, c]
+        gx = (pprime[:, 0] + 1.0) * 0.5 * (W - 1)   # align_corners=True
+        gy = (pprime[:, 1] + 1.0) * 0.5 * (H - 1)
+        gx = jnp.clip(gx, 0.0, W - 1.0)              # border padding
+        gy = jnp.clip(gy, 0.0, H - 1.0)
+        w_idx = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE, W), 1).astype(jnp.float32)
+        h_idx = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE, H), 1).astype(jnp.float32)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(gx[:, None] - w_idx))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(gy[:, None] - h_idx))
+        # stage 1: one (TILE, W) @ (W, H*C) contraction (f32 accumulate)
+        tmp = jnp.dot(wx.astype(srcp_ref.dtype), srcp_ref[0],
+                      preferred_element_type=jnp.float32)     # (TILE, H*C)
+        # stage 2: out[p, c] = sum_h wy[p, h] * tmp[p, h*C + c].
+        # Pair h's so every tmp slice is 2C lanes (= 128 when C == 64,
+        # tile-aligned); the paired accumulator folds back to C lanes
+        # with a constant [I; I] matmul.
+        assert H % 2 == 0, H
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, 2 * C), 1)
+        mask_l = (lane < C).astype(jnp.float32)
+        mask_r = 1.0 - mask_l
+        acc = jnp.zeros((TILE, 2 * C), jnp.float32)
+        for k in range(H // 2):
+            wexp = (wy[:, 2 * k:2 * k + 1] * mask_l +
+                    wy[:, 2 * k + 1:2 * k + 2] * mask_r)
+            acc = acc + tmp[:, k * 2 * C:(k + 1) * 2 * C] * wexp
+        rr = jax.lax.broadcasted_iota(jnp.int32, (2 * C, C), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (2 * C, C), 1)
+        fold = (rr % C == cc).astype(jnp.float32)             # [I; I]
+        out = jnp.dot(acc, fold, preferred_element_type=jnp.float32)
+        out_ref[0] = out.astype(out_ref.dtype)
+
+    sample(fg_ref, Hg, Wg, rect_ref)
+    if mp_ref is not None:
+        sample(img_ref, Hi, Wi, mp_ref)
+
+
+def tps_grid_sample_fused(feat_grid, batch_img, control_point, pc_score,
+                          inv_delta_C, P_hat, P, out_hw, tile: int = 256,
+                          interpret: bool = False, with_mp: bool = True,
+                          variant: str | None = None):
+    """Fused rectification — see :func:`_tps_grid_sample_fused_impl`.
+
+    ``variant`` picks the kernel ('dense' | 'twostage'); None reads the
+    ``TPS_SAMPLER_VARIANT`` env knob. Resolved OUTSIDE the jitted core so
+    the knob participates in the jit cache key.
+    """
+    import os
+    if variant is None:
+        variant = os.environ.get('TPS_SAMPLER_VARIANT', 'dense')
+    return _tps_grid_sample_fused_impl(
+        feat_grid, batch_img, control_point, pc_score, inv_delta_C, P_hat,
+        P, out_hw, tile=tile, interpret=interpret, with_mp=with_mp,
+        variant=variant)
+
+
 @functools.partial(jax.jit, static_argnames=('out_hw', 'tile', 'interpret',
-                                             'with_mp'))
-def tps_grid_sample_fused(feat_grid: jax.Array, batch_img: jax.Array,
-                          control_point: jax.Array, pc_score: jax.Array,
-                          inv_delta_C: jax.Array, P_hat: jax.Array,
-                          P: jax.Array, out_hw: Tuple[int, int],
-                          tile: int = 256, interpret: bool = False,
-                          with_mp: bool = True):
+                                             'with_mp', 'variant'))
+def _tps_grid_sample_fused_impl(feat_grid: jax.Array, batch_img: jax.Array,
+                                control_point: jax.Array, pc_score: jax.Array,
+                                inv_delta_C: jax.Array, P_hat: jax.Array,
+                                P: jax.Array, out_hw: Tuple[int, int],
+                                tile: int = 256, interpret: bool = False,
+                                with_mp: bool = True,
+                                variant: str = 'dense'):
     """Fused rectification.
 
     Args:
@@ -117,8 +203,29 @@ def tps_grid_sample_fused(feat_grid: jax.Array, batch_img: jax.Array,
     assert n % tile == 0, (n, tile)
 
     f32 = jnp.float32
-    kernel = functools.partial(_kernel, Hg=Hg, Wg=Wg, Hi=Hi, Wi=Wi, C=C,
-                               TILE=tile)
+    # 'twostage' replaces the dense interpolation-matrix build with a
+    # W-contraction over a (W, H*C)-transposed feature layout + an H
+    # reduction (see _kernel_twostage) — less VPU work, full MXU lanes.
+    if variant == 'twostage':
+        kernel = functools.partial(_kernel_twostage, Hg=Hg, Wg=Wg, Hi=Hi,
+                                   Wi=Wi, C=C, TILE=tile)
+        def _prep(a, H, W):            # (N,H,W,C) -> (N, W, H*C)
+            return a.transpose(0, 2, 1, 3).reshape(N, W, H * C)
+        fg_arg = _prep(feat_grid, Hg, Wg)
+        img_arg = _prep(batch_img, Hi, Wi)
+        fg_spec = pl.BlockSpec((1, Wg, Hg * C), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        img_spec = pl.BlockSpec((1, Wi, Hi * C), lambda i, j: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        kernel = functools.partial(_kernel, Hg=Hg, Wg=Wg, Hi=Hi, Wi=Wi, C=C,
+                                   TILE=tile)
+        fg_arg = feat_grid.reshape(N, Hg * Wg, C)
+        img_arg = batch_img.reshape(N, Hi * Wi, C)
+        fg_spec = pl.BlockSpec((1, Hg * Wg, C), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        img_spec = pl.BlockSpec((1, Hi * Wi, C), lambda i, j: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
     if not with_mp:
         kernel = functools.partial(
             lambda _k, *refs: _k(*refs, None), kernel)
@@ -131,10 +238,8 @@ def tps_grid_sample_fused(feat_grid: jax.Array, batch_img: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, Fd), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hg * Wg, C), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hi * Wi, C), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            fg_spec,
+            img_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),       # inv_delta_C
             pl.BlockSpec((1, tile, Fd), lambda i, j: (0, j, 0),
                          memory_space=pltpu.VMEM),        # P_hat (bcast N)
@@ -157,7 +262,7 @@ def tps_grid_sample_fused(feat_grid: jax.Array, batch_img: jax.Array,
             2 * N * n * C * 4,
             transcendentals=0),
     )(control_point.astype(f32), pc_score.astype(f32),
-      feat_grid.reshape(N, Hg * Wg, C), batch_img.reshape(N, Hi * Wi, C),
+      fg_arg, img_arg,
       inv_delta_C.astype(f32), P_hat.astype(f32)[None], P.astype(f32)[None])
     rect = outs[0].reshape(N, Hr, Wr, C)
     mp = outs[1].reshape(N, Hr, Wr, C) if with_mp else None
