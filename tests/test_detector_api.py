@@ -63,3 +63,22 @@ def test_text_detector_builds_and_detects(det_type):
     # the single-image path is the batch of one
     single = det.detect(img)
     assert len(single) == len(results[0])
+
+
+def test_detect_batch_buckets_odd_sizes():
+    """Odd batch sizes pad to the next power of two (bounded jit cache);
+    padded rows must not perturb real results."""
+    from tps_pp_tpu.apis.detector import TextDetector
+
+    rng = np.random.default_rng(1)
+    imgs = [rng.uniform(0, 255, (48, 64, 3)).astype(np.uint8)
+            for _ in range(3)]
+    det = TextDetector(_CFGS['DBNet'], img_size=(32, 64))
+    ref = det.detect_batch([imgs[0], imgs[1], imgs[2], imgs[0]])
+    got = det.detect_batch(imgs)          # pads to 4: same program
+    assert len(got) == 3
+    for g, r in zip(got, ref[:3]):
+        assert len(g) == len(r)
+        for gb, rb in zip(g, r):
+            np.testing.assert_allclose(np.asarray(gb), np.asarray(rb),
+                                       atol=1e-5)

@@ -151,6 +151,16 @@ class TextDetector:
 
         preps = [self._prep(img) for img in imgs]
         batch = jnp.asarray(np.stack([p[0] for p in preps]))
+        # bucket the batch to the next power of two: eval's ragged last
+        # batch (and any caller-chosen size) reuses a bounded set of
+        # compiled programs instead of recompiling the detector per N.
+        # All result loops below run over len(imgs), so padded rows are
+        # simply never read.
+        n = len(imgs)
+        if n & (n - 1):
+            m = 1 << (n - 1).bit_length()
+            batch = jnp.concatenate(
+                [batch, jnp.zeros((m - n,) + batch.shape[1:], batch.dtype)])
         if self.det_type == 'OCRMaskRCNN':
             results = [self._det.detect(self.variables,
                                         jnp.asarray(p[0])[None])
