@@ -49,3 +49,9 @@ def test_bucketing_matches_and_bounds_compiles():
     assert out4.shape[0] == 4
     np.testing.assert_allclose(np.asarray(out4), ref7[:4],
                                atol=1e-5, rtol=1e-5)
+
+    # a plain-list valid_ratio must survive the padding path
+    outl = rec.predict(variables, img7[:3], [1.0, 1.0, 1.0])
+    assert outl.shape[0] == 3
+    np.testing.assert_allclose(np.asarray(outl), ref7[:3],
+                               atol=1e-5, rtol=1e-5)

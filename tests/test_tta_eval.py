@@ -33,7 +33,8 @@ class _OrientationRec:
 
     label_convertor = _StubConvertor()
 
-    def predict(self, variables, imgs, valid_ratio=None):
+    def predict(self, variables, imgs, valid_ratio=None,
+                bucket_batch: bool = True):
         imgs = np.asarray(imgs, np.float32)
         n = imgs.shape[0]
         left = imgs[:, :, :imgs.shape[2] // 2].mean(axis=(1, 2, 3)) / 255.0

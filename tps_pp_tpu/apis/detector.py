@@ -150,30 +150,32 @@ class TextDetector:
         import jax.numpy as jnp
 
         preps = [self._prep(img) for img in imgs]
-        batch = jnp.asarray(np.stack([p[0] for p in preps]))
-        # bucket the batch to the next power of two: eval's ragged last
-        # batch (and any caller-chosen size) reuses a bounded set of
-        # compiled programs instead of recompiling the detector per N.
-        # All result loops below run over len(imgs), so padded rows are
-        # simply never read.
-        n = len(imgs)
-        if n & (n - 1):
-            m = 1 << (n - 1).bit_length()
-            batch = jnp.concatenate(
-                [batch, jnp.zeros((m - n,) + batch.shape[1:], batch.dtype)])
+
+        def _batch():
+            # bucket to the next power of two: eval's ragged last batch
+            # (and any caller-chosen size) reuses a bounded set of
+            # compiled programs instead of recompiling the detector per N.
+            # All result loops below run over len(imgs), so padded rows
+            # are simply never read.
+            from ..utils.batching import pad_rows_pow2
+            b = jnp.asarray(np.stack([p[0] for p in preps]))
+            return pad_rows_pow2((b,), len(imgs))[0]
+
         if self.det_type == 'OCRMaskRCNN':
+            # per-image path (two-stage proposals): the stacked batch is
+            # never used
             results = [self._det.detect(self.variables,
                                         jnp.asarray(p[0])[None])
                        for p in preps]
         elif self.det_type == 'DRRG':
-            feats, _ = self._jitted(self.variables['net'], batch)
+            feats, _ = self._jitted(self.variables['net'], _batch())
             det_vars = {'head': {'params':
                                  self.variables['net']['params']['head']},
                         'gcn': self.variables['gcn']}
             results = [self._det.detect(det_vars, np.asarray(feats)[b:b + 1])
                        for b in range(len(imgs))]
         else:
-            out = self._jitted(self.variables, batch)
+            out = self._jitted(self.variables, _batch())
             if self.det_type == 'FCENet':
                 out_np = [[(np.asarray(c)[b], np.asarray(r)[b])
                            for c, r in out] for b in range(len(imgs))]

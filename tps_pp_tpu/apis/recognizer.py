@@ -191,32 +191,34 @@ class TextRecognizer:
                 bucket_batch: bool = True):
         """Jitted device forward: (N,H,W,C) -> (N, T, C') scores.
 
-        ``bucket_batch`` pads the batch up to the next power of two before
-        the jitted call and slices the result back. XLA compiles one
-        program per input shape, and detection produces a different crop
-        count per image — without bucketing, serving would recompile the
-        full model for every distinct N (minutes per compile on TPU).
-        Bucketing bounds the cache to log2(N_max) programs. The torch
-        reference needs no analog (dynamic batch is free in eager CUDA).
+        ``bucket_batch`` pads the batch up to the next power of two
+        (replicating the last row — see utils/batching) before the jitted
+        call and slices the result back, bounding the jit cache to
+        log2(N_max) programs for serving's variable crop counts. Callers
+        with a FIXED batch shape (eval loops that already pad, bench)
+        should pass ``bucket_batch=False`` — their one shape compiles
+        once either way, and bucketing would only add padded-row work
+        (e.g. a constant batch of 100 padded to 128 forever).
         """
         n = int(img.shape[0])
         if valid_ratio is None:
             valid_ratio = jnp.ones((n,), jnp.float32)
+        else:
+            valid_ratio = jnp.asarray(valid_ratio)
         if bucket_batch and n & (n - 1):          # not a power of two
-            m = 1 << (n - 1).bit_length()
-            img = jnp.concatenate(
-                [img, jnp.zeros((m - n,) + img.shape[1:], img.dtype)])
-            valid_ratio = jnp.concatenate(
-                [valid_ratio, jnp.ones((m - n,), valid_ratio.dtype)])
+            from ..utils.batching import pad_rows_pow2
+            img, valid_ratio = pad_rows_pow2((img, valid_ratio), n)
         if self._predict_jit is None:
             self._predict_jit = jax.jit(self._predict_impl)
         out = self._predict_jit(variables, img, valid_ratio)
         return jax.tree.map(lambda x: x[:n], out)
 
-    def simple_test(self, variables, img, valid_ratio=None, img_metas=None):
+    def simple_test(self, variables, img, valid_ratio=None, img_metas=None,
+                    bucket_batch: bool = True):
         """Full test path incl. host-side decoding -> [{'text','score'}]
         (reference simple_test, encode_decode_recognizer.py:184-225)."""
-        out = np.asarray(self.predict(variables, img, valid_ratio))
+        out = np.asarray(self.predict(variables, img, valid_ratio,
+                                      bucket_batch=bucket_batch))
         if img_metas is None:
             vr = (np.asarray(valid_ratio).tolist()
                   if valid_ratio is not None else [1.0] * out.shape[0])

@@ -65,14 +65,21 @@ class SegRecognizer:
         total = sum(jax.tree.leaves(losses))
         return total, (losses, new_state)
 
-    def predict(self, variables, img, valid_ratio=None):
+    def predict(self, variables, img, valid_ratio=None,
+                bucket_batch: bool = True):
+        n = int(img.shape[0])
+        if bucket_batch and n & (n - 1):   # serving: bounded jit cache
+            from ..utils.batching import pad_rows_pow2
+            img, = pad_rows_pow2((img,), n)
         if self._predict_jit is None:
             self._predict_jit = jax.jit(
                 lambda v, x: self.module.apply(v, x, train=False))
-        return self._predict_jit(variables, img)
+        return self._predict_jit(variables, img)[:n]
 
-    def simple_test(self, variables, img, valid_ratio=None, img_metas=None):
-        out = np.asarray(self.predict(variables, img)).astype(np.float32)
+    def simple_test(self, variables, img, valid_ratio=None, img_metas=None,
+                    bucket_batch: bool = True):
+        out = np.asarray(self.predict(
+            variables, img, bucket_batch=bucket_batch)).astype(np.float32)
         if img_metas is None:
             vr = (np.asarray(valid_ratio).tolist()
                   if valid_ratio is not None else [1.0] * out.shape[0])

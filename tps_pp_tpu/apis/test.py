@@ -54,7 +54,9 @@ def eval_recognizer(rec, variables, dataset, batch_size: int = 64,
             placed = shard_batch({'img': img, 'valid_ratio': vr}, mesh)
             img, vr = placed['img'], placed['valid_ratio']
         t0 = time.perf_counter()
-        out = rec.predict(variables, img, vr)
+        # pad_to_batch already fixes the shape: no bucketing (it would
+        # pad a constant batch of e.g. 100 to 128 on every step)
+        out = rec.predict(variables, img, vr, bucket_batch=False)
         out = np.asarray(out)
         total_time += time.perf_counter() - t0
         n_real = host_batch['n_real']
@@ -100,7 +102,8 @@ def _eval_recognizer_tta(rec, variables, dataset, probe, metric: str,
         t0 = time.perf_counter()
         out = np.asarray(rec.predict(variables,
                                      jnp.asarray(np.stack(imgs),
-                                                 jnp.float32), vr))
+                                                 jnp.float32), vr,
+                                     bucket_batch=False))
         total_time += time.perf_counter() - t0
         idxs, scores = rec.label_convertor.tensor2idx(out[:n_real],
                                                       metas[:n_real])

@@ -157,11 +157,20 @@ def tps_grid_sample_fused(feat_grid, batch_img, control_point, pc_score,
 
     ``variant`` picks the kernel ('dense' | 'twostage'); None reads the
     ``TPS_SAMPLER_VARIANT`` env knob. Resolved OUTSIDE the jitted core so
-    the knob participates in the jit cache key.
+    DIRECT calls key the jit cache on it. NOTE: when this runs inlined in
+    a larger jit (the recognizer's predict), the env knob is baked in at
+    the OUTER trace — set it before the first model call; in-process
+    flips after a compile are silently ignored (A/B measurements must use
+    a fresh process per variant).
     """
     import os
     if variant is None:
         variant = os.environ.get('TPS_SAMPLER_VARIANT', 'dense')
+    if variant == 'twostage' and (feat_grid.shape[1] % 2 or
+                                  batch_img.shape[1] % 2):
+        # the paired-h reduction needs even feature heights; fall back
+        # rather than crash deep inside kernel tracing
+        variant = 'dense'
     return _tps_grid_sample_fused_impl(
         feat_grid, batch_img, control_point, pc_score, inv_delta_C, P_hat,
         P, out_hw, tile=tile, interpret=interpret, with_mp=with_mp,
