@@ -16,6 +16,8 @@ pytestmark = pytest.mark.heavy
 import jax
 import jax.numpy as jnp
 
+import tps_pp_tpu.models  # noqa: F401  (registry population)
+import tps_pp_tpu.losses  # noqa: F401
 from tps_pp_tpu.config import load_config
 
 RECOG_CONFIGS = sorted(glob.glob('configs/textrecog/*/*.py'))
@@ -144,14 +146,17 @@ def test_det_config_builds_and_runs(path):
 def test_kie_ner_configs_build():
     from tps_pp_tpu.registry import ENCODERS, HEADS
 
-    kie = load_config('configs/kie/sdmgr/sdmgr_unet16_60e_wildreceipt.py')
-    head_cfg = dict(kie['model']['head'])
-    head = HEADS.get(head_cfg.pop('type'))(**head_cfg)
-    v = head.init(jax.random.PRNGKey(0),
-                  jnp.zeros((4, 4, 5)), jnp.ones((4, 8), jnp.int32))
-    node_cls, edge_cls = head.apply(v, jnp.zeros((4, 4, 5)),
-                                    jnp.ones((4, 8), jnp.int32))
-    assert node_cls.shape == (4, kie['model']['head']['num_classes'])
+    for name in ('sdmgr_unet16_60e_wildreceipt',
+                 'sdmgr_novisual_60e_wildreceipt',
+                 'sdmgr_novisual_60e_wildreceipt_openset'):
+        kie = load_config(f'configs/kie/sdmgr/{name}.py')
+        head_cfg = dict(kie['model']['head'])
+        head = HEADS.get(head_cfg.pop('type'))(**head_cfg)
+        v = head.init(jax.random.PRNGKey(0),
+                      jnp.zeros((4, 4, 5)), jnp.ones((4, 8), jnp.int32))
+        node_cls, edge_cls = head.apply(v, jnp.zeros((4, 4, 5)),
+                                        jnp.ones((4, 8), jnp.int32))
+        assert node_cls.shape == (4, kie['model']['head']['num_classes'])
 
     ner = load_config('configs/ner/bert_softmax/bert_softmax_cluener_18e.py')
     enc_cfg = dict(ner['model']['encoder'])

@@ -30,65 +30,20 @@ def _eval_kie_ner(cfg, args):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from tps_pp_tpu.apis.train_kie import _build, build_task_dataset
+    from tps_pp_tpu.apis.train_kie import (_build, build_sdmgr_apply,
+                                           build_task_dataset)
     from tps_pp_tpu.registry import ENCODERS, HEADS
     from tps_pp_tpu.utils.checkpoint import load_variables
 
     ds = build_task_dataset(cfg, 'test')
     model_cfg = cfg['model']
     if model_cfg['type'] == 'SDMGR':
-        from tps_pp_tpu.registry import BACKBONES
-
-        head = _build(HEADS, model_cfg['head'])
-        s = ds[0]
-        rng0 = jax.random.PRNGKey(0)
-        visual = bool(model_cfg.get('visual_modality')) and 'img' in s
-        if visual:  # mirror train_kie's checkpoint structure
-            from tps_pp_tpu.models.textdet import roi_align_jax
-            unet = _build(BACKBONES, model_cfg.get('backbone') or
-                          {'type': 'UNet', 'base_channels': 16})
-            unet_vars = unet.init(rng0, jnp.asarray(s['img'])[None])
-            fm0 = unet.apply(unet_vars, jnp.asarray(s['img'])[None])
-            vis0 = jnp.max(roi_align_jax(fm0[0], jnp.asarray(s['boxes']),
-                                         (7, 7)), axis=(1, 2))
-            head_vars = head.init(rng0, jnp.asarray(s['relations']),
-                                  jnp.asarray(s['texts']), vis0)
-            variables = {'params': {'head': head_vars['params'],
-                                    'unet': unet_vars['params']},
-                         **{k: v for k, v in unet_vars.items()
-                            if k != 'params'}}
-        else:
-            head_vars = head.init(rng0, jnp.asarray(s['relations']),
-                                  jnp.asarray(s['texts']))
-            variables = {'params': {'head': head_vars['params']}}
-        if args.checkpoint:
-            variables = load_variables(args.checkpoint, variables)
-
-        if visual:
-            @jax.jit
-            def apply(v, r, t, img, boxes):
-                bs = {k: vv for k, vv in v.items() if k != 'params'}
-                fm = unet.apply({'params': v['params']['unet'], **bs}, img)
-                vis = jnp.max(roi_align_jax(fm[0], boxes, (7, 7)),
-                              axis=(1, 2))
-                return head.apply({'params': v['params']['head']}, r, t, vis)
-        else:
-            apply = jax.jit(lambda v, r, t: head.apply(
-                {'params': v['params']['head']}, r, t))
+        apply, variables, _ = build_sdmgr_apply(cfg, args.checkpoint, ds[0])
         openset = type(ds).__name__ == 'OpensetKIEDataset'
         results = []
         for i in range(len(ds)):
             item = ds[i]
-            if visual:
-                node_cls, edge_cls = apply(
-                    variables, jnp.asarray(item['relations']),
-                    jnp.asarray(item['texts']),
-                    jnp.asarray(item['img'])[None],
-                    jnp.asarray(item['boxes']))
-            else:
-                node_cls, edge_cls = apply(variables,
-                                           jnp.asarray(item['relations']),
-                                           jnp.asarray(item['texts']))
+            node_cls, edge_cls = apply(variables, item)
             if openset:   # kv-pair decode expects softmaxed node/edge maps
                 n = int((item['labels'] != -100).sum())
                 N = len(item['labels'])

@@ -239,6 +239,65 @@ def train_ner(cfg: ConfigDict, train_ds, work_dir: Optional[str] = None,
     return {'params': state['params']}, history
 
 
+def build_sdmgr_apply(cfg: ConfigDict, checkpoint: Optional[str],
+                      sample: dict):
+    """Build SDMGR inference: returns ``(apply, variables, visual)`` where
+    ``apply(variables, item) -> (node_cls, edge_cls)``. Mirrors
+    ``train_kie``'s checkpoint structure (incl. the UNet visual modality,
+    reference ``kie/extractors/sdmgr.py:24-57``); shared by the eval CLI
+    and ``tools/kie_test_imgs.py``."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..registry import BACKBONES, HEADS
+    from ..utils.checkpoint import load_variables
+
+    model_cfg = cfg['model']
+    head = _build(HEADS, model_cfg['head'])
+    rng0 = jax.random.PRNGKey(0)
+    visual = bool(model_cfg.get('visual_modality')) and 'img' in sample
+    if visual:
+        from ..models.textdet import roi_align_jax
+        unet = _build(BACKBONES, model_cfg.get('backbone') or
+                      {'type': 'UNet', 'base_channels': 16})
+        unet_vars = unet.init(rng0, jnp.asarray(sample['img'])[None])
+        fm0 = unet.apply(unet_vars, jnp.asarray(sample['img'])[None])
+        vis0 = jnp.max(roi_align_jax(fm0[0], jnp.asarray(sample['boxes']),
+                                     (7, 7)), axis=(1, 2))
+        head_vars = head.init(rng0, jnp.asarray(sample['relations']),
+                              jnp.asarray(sample['texts']), vis0)
+        variables = {'params': {'head': head_vars['params'],
+                                'unet': unet_vars['params']},
+                     **{k: v for k, v in unet_vars.items()
+                        if k != 'params'}}
+
+        @jax.jit
+        def _apply(v, r, t, img, boxes):
+            bs = {k: vv for k, vv in v.items() if k != 'params'}
+            fm = unet.apply({'params': v['params']['unet'], **bs}, img)
+            vis = jnp.max(roi_align_jax(fm[0], boxes, (7, 7)), axis=(1, 2))
+            return head.apply({'params': v['params']['head']}, r, t, vis)
+
+        def apply(v, item):
+            return _apply(v, jnp.asarray(item['relations']),
+                          jnp.asarray(item['texts']),
+                          jnp.asarray(item['img'])[None],
+                          jnp.asarray(item['boxes']))
+    else:
+        head_vars = head.init(rng0, jnp.asarray(sample['relations']),
+                              jnp.asarray(sample['texts']))
+        variables = {'params': {'head': head_vars['params']}}
+        _apply = jax.jit(lambda v, r, t: head.apply(
+            {'params': v['params']['head']}, r, t))
+
+        def apply(v, item):
+            return _apply(v, jnp.asarray(item['relations']),
+                          jnp.asarray(item['texts']))
+    if checkpoint:
+        variables = load_variables(checkpoint, variables)
+    return apply, variables, visual
+
+
 def build_task_dataset(cfg: ConfigDict, split: str = 'train'):
     """KIE/NER dataset from the config's data section (type-dispatched)."""
     from ..datasets.kie_dataset import (KIEDataset, NerDataset,
