@@ -101,3 +101,30 @@ def test_lr_schedule():
     assert float(sched(10)) == pytest.approx(1e-4, rel=1e-3)
     assert float(sched(850)) == pytest.approx(1e-5, rel=1e-3)
     assert float(sched(1050)) == pytest.approx(1e-6, rel=1e-3)
+
+
+def test_predict_under_mesh_shard_map():
+    """Data-parallel serving: predict(mesh=...) shard_maps the forward over
+    the 'data' axis (the fused Pallas paths cannot be auto-partitioned) and
+    matches the single-device result; non-divisible batches pad per shard."""
+    from tps_pp_tpu.parallel import shard_batch
+
+    rec = build_recognizer(_tiny_cfg())
+    variables = rec.init_variables(jax.random.PRNGKey(0), (2, 16, 64, 3))
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((8, 16, 64, 3)), jnp.float32)
+    vr = jnp.ones((8,), jnp.float32)
+    ref = np.asarray(rec.predict(variables, img, vr, bucket_batch=False))
+
+    mesh = create_mesh(data=8, model=1)
+    placed = shard_batch({'img': img, 'valid_ratio': vr}, mesh)
+    out = np.asarray(rec.predict(variables, placed['img'],
+                                 placed['valid_ratio'], bucket_batch=False,
+                                 mesh=mesh))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+    # 6 images over 8 data shards: padded to 8, sliced back
+    out6 = np.asarray(rec.predict(variables, img[:6], vr[:6],
+                                  bucket_batch=False, mesh=mesh))
+    assert out6.shape[0] == 6
+    np.testing.assert_allclose(out6, ref[:6], atol=2e-5, rtol=1e-4)

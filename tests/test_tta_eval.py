@@ -34,7 +34,7 @@ class _OrientationRec:
     label_convertor = _StubConvertor()
 
     def predict(self, variables, imgs, valid_ratio=None,
-                bucket_batch: bool = True):
+                bucket_batch: bool = True, mesh=None):
         imgs = np.asarray(imgs, np.float32)
         n = imgs.shape[0]
         left = imgs[:, :, :imgs.shape[2] // 2].mean(axis=(1, 2, 3)) / 255.0

@@ -188,7 +188,7 @@ class TextRecognizer:
                                  method='forward_test_nar')
 
     def predict(self, variables, img, valid_ratio=None,
-                bucket_batch: bool = True):
+                bucket_batch: bool = True, mesh=None):
         """Jitted device forward: (N,H,W,C) -> (N, T, C') scores.
 
         ``bucket_batch`` pads the batch up to the next power of two
@@ -199,18 +199,42 @@ class TextRecognizer:
         should pass ``bucket_batch=False`` — their one shape compiles
         once either way, and bucketing would only add padded-row work
         (e.g. a constant batch of 100 padded to 128 forever).
+
+        ``mesh``: data-parallel serving over a device mesh. The forward is
+        shard_map'd over the 'data' axis — REQUIRED for the fused Pallas
+        decode/encoder paths, which XLA's auto-partitioner cannot split
+        (pallas_call carries no SPMD rule; auto-sharding would gather the
+        global batch onto every device). Params are taken replicated.
         """
         n = int(img.shape[0])
         if valid_ratio is None:
             valid_ratio = jnp.ones((n,), jnp.float32)
         else:
             valid_ratio = jnp.asarray(valid_ratio)
+        nd = int(mesh.shape['data']) if mesh is not None else 1
+        m = n
         if bucket_batch and n & (n - 1):          # not a power of two
-            from ..utils.batching import pad_rows_pow2
-            img, valid_ratio = pad_rows_pow2((img, valid_ratio), n)
-        if self._predict_jit is None:
-            self._predict_jit = jax.jit(self._predict_impl)
-        out = self._predict_jit(variables, img, valid_ratio)
+            from ..utils.batching import next_pow2
+            m = next_pow2(n)
+        m = -(-m // nd) * nd                       # divisible per shard
+        if m != n:
+            from ..utils.batching import pad_rows
+            img, valid_ratio = pad_rows((img, valid_ratio), n, m)
+        if mesh is not None:
+            if getattr(self, '_predict_shmap', None) is None or \
+                    self._predict_shmap[0] is not mesh:
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+                fn = jax.jit(shard_map(
+                    self._predict_impl, mesh=mesh,
+                    in_specs=(P(), P('data'), P('data')),
+                    out_specs=P('data'), check_rep=False))
+                self._predict_shmap = (mesh, fn)
+            out = self._predict_shmap[1](variables, img, valid_ratio)
+        else:
+            if self._predict_jit is None:
+                self._predict_jit = jax.jit(self._predict_impl)
+            out = self._predict_jit(variables, img, valid_ratio)
         return jax.tree.map(lambda x: x[:n], out)
 
     def simple_test(self, variables, img, valid_ratio=None, img_metas=None,

@@ -66,7 +66,9 @@ class SegRecognizer:
         return total, (losses, new_state)
 
     def predict(self, variables, img, valid_ratio=None,
-                bucket_batch: bool = True):
+                bucket_batch: bool = True, mesh=None):
+        # mesh accepted for signature parity with TextRecognizer; the seg
+        # forward is pure XLA, so jit auto-partitions sharded inputs fine
         n = int(img.shape[0])
         if bucket_batch and n & (n - 1):   # serving: bounded jit cache
             from ..utils.batching import pad_rows_pow2

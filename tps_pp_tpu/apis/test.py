@@ -55,8 +55,10 @@ def eval_recognizer(rec, variables, dataset, batch_size: int = 64,
             img, vr = placed['img'], placed['valid_ratio']
         t0 = time.perf_counter()
         # pad_to_batch already fixes the shape: no bucketing (it would
-        # pad a constant batch of e.g. 100 to 128 on every step)
-        out = rec.predict(variables, img, vr, bucket_batch=False)
+        # pad a constant batch of e.g. 100 to 128 on every step); the mesh
+        # routes through shard_map (the fused Pallas paths cannot be
+        # auto-partitioned)
+        out = rec.predict(variables, img, vr, bucket_batch=False, mesh=mesh)
         out = np.asarray(out)
         total_time += time.perf_counter() - t0
         n_real = host_batch['n_real']

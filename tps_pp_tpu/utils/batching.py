@@ -19,13 +19,16 @@ def next_pow2(n: int) -> int:
     return 1 << max(0, int(n) - 1).bit_length()
 
 
-def pad_rows_pow2(arrays, n: int):
-    """Pad axis 0 of each array in ``arrays`` from ``n`` to the next power
-    of two by replicating the last row. Returns the tuple unchanged when
-    ``n`` is already a power of two."""
-    m = next_pow2(n)
+def pad_rows(arrays, n: int, m: int):
+    """Pad axis 0 of each array in ``arrays`` from ``n`` to ``m`` rows by
+    replicating the last row. No-op when ``m == n``."""
     if m == n:
         return tuple(arrays)
     return tuple(
         jnp.concatenate([a, jnp.repeat(a[-1:], m - n, axis=0)])
         for a in arrays)
+
+
+def pad_rows_pow2(arrays, n: int):
+    """Pad axis 0 from ``n`` to the next power of two (see pad_rows)."""
+    return pad_rows(arrays, n, next_pow2(n))
