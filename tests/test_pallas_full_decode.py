@@ -59,3 +59,29 @@ def test_full_decode_kernel_matches_xla_greedy(monkeypatch):
                                       ref_probs[:n].argmax(-1))
         np.testing.assert_allclose(gotn, ref_probs[:n], atol=2e-2,
                                    rtol=5e-2)
+
+    # ---- in-kernel early exit (while_loop path) ----
+    end_idx = 37
+    # random weights rarely emit class 37: the exit never triggers and the
+    # while_loop run must reproduce the fori_loop run exactly
+    got_ee = np.asarray(mod.apply(v, None, out_enc, vr,
+                                  method='fused_full_decode',
+                                  end_idx=end_idx))
+    if not (got_ee.argmax(-1) == end_idx).any(axis=1).all():
+        np.testing.assert_array_equal(got_ee, got)
+    # force EOS everywhere at step 0 via classifier-bias surgery: the loop
+    # must stop after one step, later steps reading back as zeros
+    import flax
+    v_eos = flax.core.unfreeze(jax.tree.map(lambda x: x, v))
+    b = np.asarray(v_eos['params']['classifier']['bias']).copy()
+    b[end_idx] += 100.0
+    v_eos['params']['classifier']['bias'] = jnp.asarray(b)
+    got_eos = np.asarray(mod.apply(v_eos, None, out_enc, vr,
+                                   method='fused_full_decode',
+                                   end_idx=end_idx))
+    full_eos = np.asarray(mod.apply(v_eos, None, out_enc, vr,
+                                    method='fused_full_decode'))
+    assert (got_eos.argmax(-1)[:, 0] == end_idx).all()
+    np.testing.assert_allclose(got_eos[:, 0], full_eos[:, 0],
+                               atol=1e-6, rtol=1e-6)
+    assert np.all(got_eos[:, 1:] == 0.0)

@@ -77,6 +77,9 @@ class TextRecognizer:
         # stop the decode loop once every row emitted EOS (semantics
         # preserved — the codec ignores everything after the first EOS)
         self.early_exit = bool(cfg.get('early_exit', True))
+        # same exit inside the whole-decode pallas kernel (off by default
+        # pending an on-chip cost measurement of the while-loop lowering)
+        self.fused_early_exit = bool(cfg.get('fused_early_exit', False))
         self.beam_length_norm = bool(cfg.get('beam_length_norm', False))
         # decode modes:
         #   'auto' (default): pick the fastest serving path for the current
@@ -157,10 +160,19 @@ class TextRecognizer:
             enc_dtype = 'int8' if mode == 'fused40' else 'bfloat16'
             fused_enc = getattr(type(self.module.encoder),
                                 'SUPPORTS_FUSED_FORWARD', False)
+            # in-kernel all-rows-EOS early exit (same contract as
+            # greedy_decode's early_exit). Opt-in via cfg
+            # 'fused_early_exit' until the while-loop lowering's cost on
+            # the fixed-40-step protocol is measured (bench runs random
+            # weights, which never emit EOS — it gains nothing there).
+            end_idx = (self.label_convertor.end_idx
+                       if getattr(self, 'fused_early_exit', False) and
+                       self.early_exit else None)
             return self.module.apply(variables, img, valid_ratio,
                                      method='decode_full_fused',
                                      enc_dtype=enc_dtype,
-                                     fused_encoder=fused_enc)
+                                     fused_encoder=fused_enc,
+                                     end_idx=end_idx)
         if self.autoregressive:
             feat, out_enc = self.module.apply(variables, img, valid_ratio,
                                               method='encode_full')

@@ -235,7 +235,7 @@ class NRTRDecoder(nn.Module):
         return probs, tuple(new_caches)
 
     def fused_full_decode(self, feat, out_enc, valid_ratio=None,
-                          enc_dtype: str = 'int8'):
+                          enc_dtype: str = 'int8', end_idx: int = None):
         """All max_seq_len greedy steps in ONE pallas kernel
         (ops/pallas_full_decode.py): weights, encoder K/V and the KV caches
         stay VMEM-resident for the whole loop. Returns (N, S, C-1) per-step
@@ -310,7 +310,7 @@ class NRTRDecoder(nn.Module):
         return full_greedy_decode(
             enc_k, enc_v, src_mask, weights, S=self.max_seq_len,
             start_idx=self.start_idx, num_classes=self.num_classes - 1,
-            enc_dtype=enc_dtype)
+            enc_dtype=enc_dtype, end_idx=end_idx)
 
     def _fused_decode_step(self, token, t, carry, static):
         """decode_step through the fused Pallas kernels

@@ -79,10 +79,12 @@ class EncodeDecodeRecognizerModule(nn.Module):
 
     def decode_full_fused(self, img, valid_ratio=None,
                           enc_dtype: str = 'int8',
-                          fused_encoder: bool = False):
+                          fused_encoder: bool = False,
+                          end_idx: int = None):
         """encode + whole-decode-in-one-pallas-kernel serving path
         (NRTRDecoder.fused_full_decode). ``fused_encoder`` additionally
-        routes the encoder through its whole-encoder pallas kernel."""
+        routes the encoder through its whole-encoder pallas kernel;
+        ``end_idx`` enables the kernel's all-rows-EOS early exit."""
         feat = self.extract_feat(img, train=False)
         if fused_encoder:
             out_enc = self.encoder(feat, valid_ratio=valid_ratio,
@@ -92,7 +94,8 @@ class EncodeDecodeRecognizerModule(nn.Module):
                                     train=False)
                        if self.encoder is not None else None)
         return self.decoder.fused_full_decode(feat, out_enc, valid_ratio,
-                                              enc_dtype=enc_dtype)
+                                              enc_dtype=enc_dtype,
+                                              end_idx=end_idx)
 
 
 # Recognizer ``type=`` names are resolved by apis.recognizer.build_recognizer

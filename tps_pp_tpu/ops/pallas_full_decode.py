@@ -90,7 +90,7 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
                         maskk_ref, maskv_ref, enc_kv_ref,
                         probs_ref, ckv_ref, enc_vmem=None, dma_sem=None, *,
                         L, H, T, TE, DK, S, SP, CP, start_idx, num_classes,
-                        enc_quant=True, ablate=''):
+                        enc_quant=True, ablate='', end_idx=None):
     bt = mask_ref.shape[0]
     D = embed_ref.shape[1]
     HD = H * DK
@@ -195,16 +195,40 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
         nxt = jnp.argmax(probs, axis=-1)
         return (cls_iota == nxt[:, None]).astype(jnp.float32)
 
-    jax.lax.fori_loop(0, S, step, onehot0)
+    if end_idx is None:
+        jax.lax.fori_loop(0, S, step, onehot0)
+    else:
+        # early exit once EVERY row has emitted EOS — the same contract as
+        # greedy_decode's early_exit (the codec ignores everything after
+        # the first EOS, so skipped steps are unobservable). Skipped steps
+        # read back as the zeros written here (deterministic), and padded
+        # all-invalid-mask rows count as already finished so they cannot
+        # keep the block alive.
+        probs_ref[...] = jnp.zeros_like(probs_ref)
+        eos_col = (cls_iota == end_idx).astype(jnp.float32)   # (bt, CP)
+        row_valid = jnp.max(mask_ref[:], axis=-1, keepdims=True) > 0
+        seen0 = jnp.where(row_valid, 0.0, eos_col)
+
+        def cond(carry):
+            t, _, seen = carry
+            done = jnp.min(jnp.sum(seen * eos_col, axis=-1))
+            return jnp.logical_and(t < S, done < 0.5)
+
+        def body(carry):
+            t, onehot, seen = carry
+            nxt = step(t, onehot)
+            return t + 1, nxt, jnp.maximum(seen, nxt)
+
+        jax.lax.while_loop(cond, body, (0, onehot0, seen0))
 
 
 @functools.partial(jax.jit, static_argnames=('S', 'start_idx', 'num_classes',
                                              'bt', 'interpret', 'ablate',
-                                             'enc_dtype'))
+                                             'enc_dtype', 'end_idx'))
 def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
                        start_idx: int, num_classes: int, bt: int = None,
                        interpret: bool = False, ablate: str = '',
-                       enc_dtype: str = 'int8'):
+                       enc_dtype: str = 'int8', end_idx: int = None):
     """Run the whole greedy decode in one pallas kernel.
 
     enc_k/enc_v: (L, N, H, TE, DK) precomputed encoder K/V (bf16).
@@ -293,7 +317,7 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
     kernel = functools.partial(
         _full_decode_kernel, L=L, H=H, T=T, TE=TE, DK=DK, S=S, SP=SP, CP=CP,
         start_idx=start_idx, num_classes=num_classes, enc_quant=enc_quant,
-        ablate=ablate)
+        ablate=ablate, end_idx=end_idx)
 
     # Fold each LayerNorm's affine (scale s, bias b) into the matmul that
     # consumes it: y@W for y = norm*s + b equals norm@(s*W) + b@W. The
