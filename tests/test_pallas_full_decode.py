@@ -60,6 +60,15 @@ def test_full_decode_kernel_matches_xla_greedy(monkeypatch):
         np.testing.assert_allclose(gotn, ref_probs[:n], atol=2e-2,
                                    rtol=5e-2)
 
+    # ---- bf16 enc-KV (the DEFAULT fused40_bf16 serving path): exercises
+    # the manual-DMA branch (memory_space=ANY + make_async_copy), which is
+    # argmax-identical to the XLA loop by construction
+    got_bf16 = np.asarray(mod.apply(v, None, out_enc, vr,
+                                    method='fused_full_decode',
+                                    enc_dtype='bfloat16'))
+    np.testing.assert_array_equal(got_bf16.argmax(-1), ref_probs.argmax(-1))
+    np.testing.assert_allclose(got_bf16, ref_probs, atol=2e-2, rtol=5e-2)
+
     # ---- in-kernel early exit (while_loop path) ----
     end_idx = 37
     # random weights rarely emit class 37: the exit never triggers and the
@@ -85,3 +94,10 @@ def test_full_decode_kernel_matches_xla_greedy(monkeypatch):
     np.testing.assert_allclose(got_eos[:, 0], full_eos[:, 0],
                                atol=1e-6, rtol=1e-6)
     assert np.all(got_eos[:, 1:] == 0.0)
+    # early exit combined with the bf16 manual-DMA branch
+    got_eos16 = np.asarray(mod.apply(v_eos, None, out_enc, vr,
+                                     method='fused_full_decode',
+                                     enc_dtype='bfloat16',
+                                     end_idx=end_idx))
+    assert (got_eos16.argmax(-1)[:, 0] == end_idx).all()
+    assert np.all(got_eos16[:, 1:] == 0.0)

@@ -84,12 +84,37 @@ def _encoder_kernel(mask_ref, x_ref,
     out_ref[...] = x.astype(out_ref.dtype)
 
 
+def fused_encoder_forward(x, mask, weights, *, T: int, H: int = 8,
+                          bi: int = None, interpret: bool = False,
+                          compute_dtype: str = 'bfloat16'):
+    """Run the whole NRTR encoder in one pallas kernel (see the jitted
+    core below). ``bi`` (images per block) defaults to the ``TPS_ENC_BI``
+    env knob or 2 — resolved HERE, outside the jitted core, so the knob
+    participates in the jit cache key. Measured at B=512 flagship:
+    bi=16 44.3 ms, 8 42.9, 4 42.7, 2 41.6 (feat+encoder prefix; bi=1
+    trips an MLIR lowering bug in this jax build — smaller bi shrinks the
+    block-diagonal attention overcompute, FLOPs ~ bi per row)."""
+    if bi is None:
+        import os
+        bi = int(os.environ.get('TPS_ENC_BI', 2))
+    # the kernel assumes the packed q|k|v layout with d_k == d_v: a
+    # mismatched decoder config would otherwise slice wrong columns
+    # silently (wqkv BlockSpec truncates)
+    HD = weights['wfc'].shape[1]
+    assert weights['wqkv'].shape[2] == 3 * HD, (
+        'fused encoder requires d_k == d_v (packed q|k|v layout): '
+        f"wqkv has {weights['wqkv'].shape[2]} cols, expected {3 * HD}")
+    return _fused_encoder_forward_impl(
+        x, mask, weights, T=T, H=H, bi=bi, interpret=interpret,
+        compute_dtype=compute_dtype)
+
+
 @functools.partial(jax.jit, static_argnames=('T', 'H', 'bi', 'interpret',
                                              'compute_dtype'))
-def fused_encoder_forward(x, mask, weights, *, T: int, H: int = 8,
-                          bi: int = 2, interpret: bool = False,
-                          compute_dtype: str = 'bfloat16'):
-    """Run the whole NRTR encoder in one pallas kernel.
+def _fused_encoder_forward_impl(x, mask, weights, *, T: int, H: int = 8,
+                                bi: int = 2, interpret: bool = False,
+                                compute_dtype: str = 'bfloat16'):
+    """Jitted core of the whole-encoder kernel.
 
     x: (N, T, D) tokens (bf16/f32); mask: (N, T) 1=valid (or None);
     weights dict with stacked per-layer arrays:
@@ -101,12 +126,6 @@ def fused_encoder_forward(x, mask, weights, *, T: int, H: int = 8,
     """
     N, T_, D = x.shape
     assert T_ == T
-    import os
-    bi = int(os.environ.get('TPS_ENC_BI', bi))  # images/block perf knob:
-    # smaller bi shrinks the block-diagonal attention overcompute
-    # (FLOPs ~ bi per row) at the cost of more grid steps; measured at
-    # B=512 flagship: bi=16 44.3 ms, 8 42.9, 4 42.7, 2 41.6 (feat+encoder
-    # prefix; bi=1 trips an MLIR lowering bug in this jax build)
     cdt = jnp.dtype(compute_dtype)
     L = weights['wqkv'].shape[0]
     HD = weights['wfc'].shape[1]

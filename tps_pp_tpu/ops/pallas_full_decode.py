@@ -222,13 +222,34 @@ def _full_decode_kernel(mask_ref, embed_ref, pe_ref,
         jax.lax.while_loop(cond, body, (0, onehot0, seen0))
 
 
-@functools.partial(jax.jit, static_argnames=('S', 'start_idx', 'num_classes',
-                                             'bt', 'interpret', 'ablate',
-                                             'enc_dtype', 'end_idx'))
 def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
                        start_idx: int, num_classes: int, bt: int = None,
                        interpret: bool = False, ablate: str = '',
                        enc_dtype: str = 'int8', end_idx: int = None):
+    """Whole-greedy-decode kernel entry — resolves the ``TPS_FUSED_BT``
+    batch-block env knob and validates the packed-weights layout OUTSIDE
+    the jitted core (so the knob keys the jit cache and a d_k != d_v
+    config errors loudly instead of slicing wrong columns)."""
+    if bt is None:
+        import os
+        bt = int(os.environ.get('TPS_FUSED_BT', '64'))
+    L, _, H, _, DK = enc_k.shape
+    assert weights['wqkv'].shape[2] == 3 * H * DK, (
+        'fused decode requires d_k == d_v (packed q|k|v layout): '
+        f"wqkv has {weights['wqkv'].shape[2]} cols, expected {3 * H * DK}")
+    return _full_greedy_decode_impl(
+        enc_k, enc_v, src_mask, weights, S=S, start_idx=start_idx,
+        num_classes=num_classes, bt=bt, interpret=interpret, ablate=ablate,
+        enc_dtype=enc_dtype, end_idx=end_idx)
+
+
+@functools.partial(jax.jit, static_argnames=('S', 'start_idx', 'num_classes',
+                                             'bt', 'interpret', 'ablate',
+                                             'enc_dtype', 'end_idx'))
+def _full_greedy_decode_impl(enc_k, enc_v, src_mask, weights, *, S: int,
+                             start_idx: int, num_classes: int, bt: int = 64,
+                             interpret: bool = False, ablate: str = '',
+                             enc_dtype: str = 'int8', end_idx: int = None):
     """Run the whole greedy decode in one pallas kernel.
 
     enc_k/enc_v: (L, N, H, TE, DK) precomputed encoder K/V (bf16).
@@ -304,10 +325,6 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
     # pos <= t), so S=40 costs LESS VMEM than the old S+1=41 layout
     T = ((S + 7) // 8) * 8
     SP = T
-    if bt is None:
-        # batch-block override for perf probes (VMEM headroom experiments)
-        import os
-        bt = int(os.environ.get('TPS_FUSED_BT', '64'))
     # N is a multiple of 8 here; keep the block a multiple of 8 too so
     # the per-block shapes stay sublane-aligned (prefer the largest such
     # divisor <= bt)
@@ -395,55 +412,3 @@ def full_greedy_decode(enc_k, enc_v, src_mask, weights, *, S: int,
       maskk.astype(jnp.float32), maskv.astype(jnp.float32), enc_arg)
     return probs[:n_orig, :S, :num_classes]
 
-
-def pack_decoder_weights(params, *, n_layers: int, d_model: int,
-                         n_position_slice: int, pad_to: int = 128):
-    """Stack an NRTRDecoder's flax params into the kernel layout.
-
-    params: variables['params'] subtree of the decoder (layer_stack_{i},
-    trg_word_emb, layer_norm, classifier). Returns the weights dict for
-    :func:`full_greedy_decode`.
-    """
-    from ..models.transformer import sinusoid_position_table
-
-    L = n_layers
-
-    def stack(path_fn):
-        return jnp.stack([jnp.asarray(path_fn(params[f'layer_stack_{i}']))
-                          for i in range(L)])
-
-    w = {
-        'ln1_s': stack(lambda p: p['norm1']['scale'])[:, None, :],
-        'ln1_b': stack(lambda p: p['norm1']['bias'])[:, None, :],
-        'ln2_s': stack(lambda p: p['norm2']['scale'])[:, None, :],
-        'ln2_b': stack(lambda p: p['norm2']['bias'])[:, None, :],
-        'ln3_s': stack(lambda p: p['norm3']['scale'])[:, None, :],
-        'ln3_b': stack(lambda p: p['norm3']['bias'])[:, None, :],
-        'wqkv': stack(lambda p: jnp.concatenate([
-            p['self_attn']['linear_q']['kernel'],
-            p['self_attn']['linear_k']['kernel'],
-            p['self_attn']['linear_v']['kernel']], axis=1)),
-        'wfc1': stack(lambda p: p['self_attn']['fc']['kernel']),
-        'wq2': stack(lambda p: p['enc_attn']['linear_q']['kernel']),
-        'wfc2': stack(lambda p: p['enc_attn']['fc']['kernel']),
-        'w1': stack(lambda p: p['mlp']['w_1']['kernel']),
-        'b1': stack(lambda p: p['mlp']['w_1']['bias'])[:, None, :],
-        'w2': stack(lambda p: p['mlp']['w_2']['kernel']),
-        'b2': stack(lambda p: p['mlp']['w_2']['bias'])[:, None, :],
-        'lnf_s': jnp.asarray(params['layer_norm']['scale'])[None, :],
-        'lnf_b': jnp.asarray(params['layer_norm']['bias'])[None, :],
-    }
-    emb = jnp.asarray(params['trg_word_emb']['embedding'])   # (C, D)
-    C = emb.shape[0]
-    CP = ((max(C, pad_to) + pad_to - 1) // pad_to) * pad_to
-    w['embed'] = jnp.zeros((CP, d_model), emb.dtype).at[:C].set(emb)
-    wcls = jnp.asarray(params['classifier']['kernel'])       # (D, C-1)
-    bcls = jnp.asarray(params['classifier']['bias'])
-    w['wcls'] = jnp.zeros((d_model, CP), wcls.dtype).at[
-        :, :wcls.shape[1]].set(wcls)
-    w['bcls'] = jnp.full((1, CP), NEG_INF,
-                         jnp.float32).at[0, :bcls.shape[0]].set(
-        bcls.astype(jnp.float32))
-    w['pe'] = jnp.asarray(
-        sinusoid_position_table(200, d_model)[0, :n_position_slice])
-    return w
