@@ -149,6 +149,11 @@ class TextRecognizer:
         decoder = self.module.decoder
         if (getattr(self, 'beam_width', 1) <= 1
                 and hasattr(type(decoder), 'fused_full_decode')
+                # the fused kernels pack q|k|v in one lane layout, which
+                # requires d_k == d_v (asserted in the kernels); fall back
+                # to the XLA loop for mismatched configs
+                and getattr(decoder, 'd_k', None) == getattr(
+                    decoder, 'd_v', None)
                 and jax.default_backend() not in ('cpu', 'gpu')):
             return 'fused40_bf16'
         return 'steps'
