@@ -65,6 +65,30 @@ def test_text_detector_builds_and_detects(det_type):
     assert len(single) == len(results[0])
 
 
+def test_pan_pse_boundary_scale():
+    """PAN/PSE heads emit 1/4-resolution maps and their postprocessors
+    return map-space coords — detect() must scale by 1/downsample_ratio
+    (reference HeadMixin.get_boundary, head_mixin.py:72) on top of the
+    original-image resize factors."""
+    from tps_pp_tpu.apis.detector import TextDetector
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (128, 64, 3)).astype(np.uint8)  # h0=2H, w0=W
+    det = TextDetector(_CFGS['PANet'], img_size=(64, 64))
+
+    class _Stub:
+        def __call__(self, preds):
+            # one box in MAP coords (map is 16x16 for a 64x64 input)
+            return [np.array([2.0, 3.0, 10.0, 3.0, 10.0, 7.0, 2.0, 7.0,
+                              0.9], np.float32)]
+
+    det.postprocessor = _Stub()
+    (b,) = det.detect(img)
+    # x: map*4 (downsample) * (64/64); y: map*4 * (128/64)
+    np.testing.assert_allclose(b[0:-1:2], np.array([2, 10, 10, 2]) * 4.0)
+    np.testing.assert_allclose(b[1:-1:2], np.array([3, 3, 7, 7]) * 8.0)
+
+
 def test_detect_batch_buckets_odd_sizes():
     """Odd batch sizes pad to the next power of two (bounded jit cache);
     padded rows must not perturb real results."""

@@ -127,12 +127,21 @@ class TextDetector:
             from ..utils.checkpoint import load_variables
             self.variables = load_variables(checkpoint, self.variables)
 
+    # head-output resolution relative to the model input: PAN/PSE heads
+    # emit 1/4-resolution maps and their postprocessors return map-space
+    # coords (reference pan_head.py:32/pse_head.py:24 downsample_ratio=0.25,
+    # applied in HeadMixin.get_boundary:72 as 1/ratio). DBNet upsamples
+    # in-head, FCE scales per level inside its postprocessor, the rest are
+    # full-res.
+    _DOWNSAMPLE = {'PANet': 0.25, 'PSENet': 0.25}
+
     def _prep(self, img: np.ndarray) -> Tuple[np.ndarray, float, float]:
         import cv2
         h0, w0 = img.shape[:2]
         H, W = self.img_size
+        ds = self._DOWNSAMPLE.get(self.det_type, 1.0)
         resized = cv2.resize(img, (W, H)).astype(np.float32) / 255.0
-        return resized, w0 / W, h0 / H
+        return resized, w0 / W / ds, h0 / H / ds
 
     def _post_single(self, out) -> List[np.ndarray]:
         """Raw per-image head output -> boundaries (model-input coords)."""
@@ -168,11 +177,13 @@ class TextDetector:
                                         jnp.asarray(p[0])[None])
                        for p in preps]
         elif self.det_type == 'DRRG':
-            feats, _ = self._jitted(self.variables['net'], _batch())
+            feats, pred_maps = self._jitted(self.variables['net'], _batch())
             det_vars = {'head': {'params':
                                  self.variables['net']['params']['head']},
                         'gcn': self.variables['gcn']}
-            results = [self._det.detect(det_vars, np.asarray(feats)[b:b + 1])
+            feats, pred_maps = np.asarray(feats), np.asarray(pred_maps)
+            results = [self._det.detect(det_vars, feats[b:b + 1],
+                                        pred_maps=pred_maps[b:b + 1])
                        for b in range(len(imgs))]
         else:
             out = self._jitted(self.variables, _batch())

@@ -93,9 +93,18 @@ def model_inference(rec, variables, imgs,
             results = dict(img_path=img, img_info=dict(filename=img))
         datas.append(pipeline(results))
 
-    batch = np.stack([d['img'] for d in datas]).astype(np.float32)
-    vr = np.asarray([d['img_metas'].get('valid_ratio', 1.0) or 1.0
-                     for d in datas], np.float32)
-    metas = [d['img_metas'] for d in datas]
-    results = rec.simple_test(variables, batch, vr, img_metas=metas)
+    def run(subset):
+        batch = np.stack([d['img'] for d in subset]).astype(np.float32)
+        vr = np.asarray([d['img_metas'].get('valid_ratio', 1.0) or 1.0
+                         for d in subset], np.float32)
+        metas = [d['img_metas'] for d in subset]
+        return rec.simple_test(variables, batch, vr, img_metas=metas)
+
+    if batch_mode:
+        results = run(datas)
+    else:
+        # per-image contract (reference apis/utils.py disables batching
+        # when batch_mode=False): pipelines with keep_aspect_ratio can
+        # yield per-image widths that cannot stack
+        results = [run([d])[0] for d in datas]
     return results[0] if single else results

@@ -69,7 +69,6 @@ class MMOCR:
                  det_img_size=(640, 640), seed: int = 0, **kwargs):
         self.detector = None
         self.rec = None
-        self.kie = None
         if det:
             from .detector import init_detector
             cfg = det_config or _resolve(DET_CONFIGS, det)
@@ -190,8 +189,7 @@ class MMOCR:
                     'text': rec.get('text', ''),
                     'text_score': float(score),
                 })
-            if self.kie is not None or getattr(self, 'kie_head', None) \
-                    is not None:
+            if getattr(self, 'kie_head', None) is not None:
                 box_results = self._kie_infer(box_results)
             res = {'filename': filename, 'result': box_results}
             if img_out_dir:
@@ -205,14 +203,14 @@ class MMOCR:
                     [{'box': r['box'], 'text': r['text']}
                      for r in box_results], max_x_dist=merge_xdist)
             out.append(res)
-        if output is not None:
-            import json
-            with open(output, 'w') as f:
-                json.dump(out, f, indent=2)
         if not details:
             for r in out:
                 for b in r.get('result', []):
                     b.pop('text_score', None)
+        if output is not None:   # exported file == returned value
+            import json
+            with open(output, 'w') as f:
+                json.dump(out, f, indent=2)
         return out
 
     # -- helpers -------------------------------------------------------------

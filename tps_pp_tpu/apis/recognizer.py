@@ -145,6 +145,13 @@ class TextRecognizer:
             return 'single_pass'
         mode = getattr(self, 'decode_mode', 'auto')
         if mode != 'auto':
+            # explicit fused modes still need a fused-capable decoder and a
+            # greedy (beam_width<=1) search — fall back rather than crash
+            # deep inside module.apply, and report what actually runs
+            if mode in ('fused40', 'fused40_bf16') and not (
+                    getattr(self, 'beam_width', 1) <= 1 and
+                    hasattr(type(self.module.decoder), 'fused_full_decode')):
+                return 'steps'
             return mode
         decoder = self.module.decoder
         if (getattr(self, 'beam_width', 1) <= 1
@@ -238,8 +245,10 @@ class TextRecognizer:
             from ..utils.batching import pad_rows
             img, valid_ratio = pad_rows((img, valid_ratio), n, m)
         if mesh is not None:
+            # key on equality, not identity: an equal-but-new Mesh per call
+            # must reuse the compiled shard_map wrapper
             if getattr(self, '_predict_shmap', None) is None or \
-                    self._predict_shmap[0] is not mesh:
+                    self._predict_shmap[0] != mesh:
                 from jax.experimental.shard_map import shard_map
                 from jax.sharding import PartitionSpec as P
                 fn = jax.jit(shard_map(

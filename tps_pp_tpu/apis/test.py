@@ -36,9 +36,11 @@ def eval_recognizer(rec, variables, dataset, batch_size: int = 64,
     import jax
     from ..parallel import shard_batch
 
-    if batch_size == 1:
+    if batch_size == 1 and len(dataset):
         probe = dataset[0]
         if 'aug_imgs' in probe:
+            # TTA runs variant mini-batches of one image: a device mesh
+            # cannot shard those, so it is deliberately not forwarded
             return _eval_recognizer_tta(rec, variables, dataset, probe,
                                         metric, return_results)
 

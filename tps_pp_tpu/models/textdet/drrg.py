@@ -619,8 +619,13 @@ class DRRGDetector:
                                   jnp.asarray(adjs_b), jnp.asarray(knn_b))
         return pred_maps, gcn_pred, jnp.asarray(links_b)
 
-    def detect(self, variables, feats) -> List[np.ndarray]:
-        pred_maps = np.asarray(self.head.apply(variables['head'], feats))
+    def detect(self, variables, feats, pred_maps=None) -> List[np.ndarray]:
+        if pred_maps is None:
+            pred_maps = np.asarray(self.head.apply(variables['head'], feats))
+        else:
+            # precomputed by the caller's jitted batched forward — avoid
+            # re-running the head eagerly per image
+            pred_maps = np.asarray(pred_maps)
         boundaries = []
         for b in range(pred_maps.shape[0]):
             feat_cat = np.concatenate([np.asarray(feats)[b], pred_maps[b]],
