@@ -109,3 +109,22 @@ def test_short_crop_skips_rotation(tmp_path):
     metrics, results = eval_recognizer(rec, None, ds, batch_size=1,
                                        return_results=True)
     assert results[0]['text'] == 'a'
+
+
+def test_rotation_mapping_matches_reference():
+    """Reference maps degree 90 -> np.rot90(img, 1) (one CCW turn),
+    180 -> 2, 270 -> 3 (test_time_aug.py:66-71)."""
+    from tps_pp_tpu.datasets.pipelines.test_time_aug import MultiRotateAugOCR
+
+    aug = MultiRotateAugOCR(rotate_degrees=(0, 90, 180, 270),
+                            force_rotate=True)
+    img = np.arange(2 * 3 * 1).reshape(2, 3, 1).astype(np.uint8)
+    v0, v90, v180, v270 = aug.expand(img)
+    np.testing.assert_array_equal(v0, img)
+    np.testing.assert_array_equal(v90, np.rot90(img, 1))
+    np.testing.assert_array_equal(v180, np.rot90(img, 2))
+    np.testing.assert_array_equal(v270, np.rot90(img, 3))
+    # rotate only taller-than-wide crops (reference height<=width -> [0])
+    aug2 = MultiRotateAugOCR(rotate_degrees=(0, 90, 270))
+    assert not aug2.should_rotate(np.zeros((32, 32, 1)))
+    assert aug2.should_rotate(np.zeros((33, 32, 1)))

@@ -58,7 +58,15 @@ class OCRDataset:
         return self.pipeline(results)
 
     def __getitem__(self, index: int) -> Dict:
-        # skip-broken-sample retry loop (reference base_dataset.py:140-161)
+        # skip-broken-sample retry loop (reference base_dataset.py:140-161
+        # — TRAIN ONLY: substituting the next sample during eval would
+        # misalign predictions with evaluate()'s positional ground truths)
+        if self.test_mode:
+            data = self.prepare_data(index)
+            if data is None:
+                raise RuntimeError(f'test sample {index} was filtered by '
+                                   'the pipeline')
+            return data
         for _ in range(len(self)):
             try:
                 data = self.prepare_data(index)
@@ -140,7 +148,8 @@ def _collate(samples: List[Dict], batch_size: int,
     n_real = len(samples)
     if pad_to_batch and n_real < batch_size:
         samples = samples + [samples[-1]] * (batch_size - n_real)
-    imgs = np.stack([s['img'] for s in samples]).astype(np.float32)
+    imgs = np.stack([s['img'] for s in samples]).astype(np.float32,
+                                                        copy=False)
     metas = [s['img_metas'] for s in samples]
     vr = np.asarray([m.get('valid_ratio', 1.0) or 1.0 for m in metas],
                     np.float32)
@@ -241,8 +250,17 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Dict]:
         if self.num_workers <= 0:
+            # same per-(seed, epoch, sample) seeding as _worker_fetch so
+            # augmentation draws are identical at any worker count
+            seed = self.seed or 0
             for idxs in self._batch_indices():
-                yield self.collate([self.dataset[j] for j in idxs])
+                out = []
+                for j in idxs:
+                    key = (seed * 1000003 + self._epoch) * 1000003 + int(j)
+                    _random.seed(key)
+                    np.random.seed(key % (2 ** 32))
+                    out.append(self.dataset[int(j)])
+                yield self.collate(out)
             return
         from collections import deque
         pool = self._ensure_pool()

@@ -32,8 +32,10 @@ class MultiRotateAugOCR:
             self.transforms = Compose(transforms)
 
     def should_rotate(self, img: np.ndarray) -> bool:
+        # reference rotates whenever the crop is taller than wide
+        # (test_time_aug.py:60-63: height <= width -> [0] only)
         h, w = img.shape[:2]
-        return self.force_rotate or h / max(w, 1) >= 1.5
+        return self.force_rotate or h > w
 
     def expand(self, img: np.ndarray) -> List[np.ndarray]:
         if not self.should_rotate(img):
@@ -43,9 +45,13 @@ class MultiRotateAugOCR:
             if deg == 0:
                 out.append(img)
             elif deg == 90:
-                out.append(np.ascontiguousarray(np.rot90(img, k=3)))
-            elif deg == 270:
+                # reference mapping (test_time_aug.py:66-71): 90 -> one
+                # CCW np.rot90, 180 -> two, 270 -> three
                 out.append(np.ascontiguousarray(np.rot90(img, k=1)))
+            elif deg == 180:
+                out.append(np.ascontiguousarray(np.rot90(img, k=2)))
+            elif deg == 270:
+                out.append(np.ascontiguousarray(np.rot90(img, k=3)))
             else:
                 h, w = img.shape[:2]
                 M = cv2.getRotationMatrix2D((w / 2, h / 2), deg, 1.0)
@@ -63,7 +69,10 @@ class MultiRotateAugOCR:
         for v in variants:
             r = dict(results)
             r['img'] = v
-            processed.append(self.transforms(r))
+            p = self.transforms(r)
+            if p is None:   # Compose contract: a filtered sample
+                return None  # propagates so the dataset retry can skip
+            processed.append(p)
         out = dict(processed[0])
         out['aug_imgs'] = [p['img'] for p in processed]
         out['aug_metas'] = [p.get('img_metas', {}) for p in processed]

@@ -58,6 +58,8 @@ class LoadImageFromNdarray(LoadImageFromFile):
 
     def __call__(self, results: Dict) -> Dict:
         img = results['img']
+        if img.ndim == 2:   # 2-D grayscale: shape[-1] would be the WIDTH
+            img = img[:, :, None]
         if self.color_type == 'grayscale' and img.shape[-1] == 3:
             img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)[:, :, None]
         elif self.color_type == 'color' and img.shape[-1] == 1:
@@ -136,6 +138,7 @@ class ToTensorOCR:
         img = results['img']
         if img.dtype == np.uint8:
             img = img.astype(np.float32) / 255.0
+            results['img_scaled_01'] = True
         else:
             img = img.astype(np.float32)
         results['img'] = img
@@ -151,8 +154,11 @@ class NormalizeOCR:
     def __call__(self, results: Dict) -> Dict:
         img = results['img'].astype(np.float32)
         mean, std = self.mean, self.std
-        if mean.max() > 1.5:  # torchvision convention: stats already in 0-255
-            pass
+        if mean.max() > 1.5 and results.get('img_scaled_01'):
+            # 0-255-convention stats over a ToTensorOCR [0,1] image:
+            # rescale the stats rather than silently destroying the
+            # input ((img-127.5)/127.5 ~ -1 everywhere)
+            mean, std = mean / 255.0, std / 255.0
         results['img'] = (img - mean) / std
         results['img_norm_cfg'] = dict(mean=self.mean.tolist(),
                                        std=self.std.tolist())
@@ -176,8 +182,18 @@ class Collect:
 
 
 @PIPELINES.register_module()
-class CustomFormatBundle(Collect):
-    """Alias used by the reference's recog pipelines; same collection role."""
+class CustomFormatBundle:
+    """Reference's formatting stage (DataContainer wrapping + optional
+    visualization, custom_format_bundle.py). Arrays need no container
+    here, so this is a passthrough — reference pipelines run it FOLLOWED
+    by Collect, and subclassing Collect made that pair collect twice and
+    wipe every img_meta."""
+
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, results: Dict) -> Dict:
+        return results
 
 
 # --------------------------------------------------------------------------
@@ -291,6 +307,14 @@ class ColorJitter:
             f = random.uniform(1 - self.saturation, 1 + self.saturation)
             gray = img.mean(axis=-1, keepdims=True)
             img = gray + f * (img - gray)
+        if self.hue and img.shape[-1] == 3:
+            # torchvision hue semantics: shift H by hue*360 deg in HSV
+            shift = random.uniform(-self.hue, self.hue) * 180.0  # cv2 H half
+            hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
+                               cv2.COLOR_BGR2HSV).astype(np.float32)
+            hsv[..., 0] = (hsv[..., 0] + shift) % 180.0
+            img = cv2.cvtColor(hsv.astype(np.uint8),
+                               cv2.COLOR_HSV2BGR).astype(np.float32)
         results['img'] = np.clip(img, 0, 255).astype(results['img'].dtype)
         return results
 
