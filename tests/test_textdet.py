@@ -717,3 +717,36 @@ def test_maskrcnn_roi_losses():
     losses = roi_head_losses(cls, pd, ml, labels, deltas, mt)
     assert set(losses) == {'loss_cls', 'loss_bbox', 'loss_mask'}
     assert all(np.isfinite(float(v)) for v in losses.values())
+
+
+def test_dbnet_ignore_regions_masked():
+    """Don't-care polygons zero the effective mask instead of training as
+    negatives (reference dbnet_targets ignore handling)."""
+    from tps_pp_tpu.models.textdet.targets import DBNetTargets
+
+    tg = DBNetTargets()
+    poly = np.array([[8, 8], [56, 8], [56, 24], [8, 24]], np.float32)
+    ig = np.array([[8, 40], [56, 40], [56, 56], [8, 56]], np.float32)
+    t = tg.generate([poly], 64, 64, polygons_ignore=[ig])
+    assert t['gt_shrink_mask'][48, 32] == 0          # inside ignore
+    assert t['gt_shrink_mask'][4, 4] == 1            # background stays
+    assert t['gt_shrink'][16, 32] == 1               # real text unaffected
+
+
+def test_hmean_iou_ignore_protocol():
+    """Predictions covered by a don't-care region are discarded before
+    precision (ICDAR protocol)."""
+    from tps_pp_tpu.evaluation import eval_hmean_iou
+
+    gt = [[np.array([0, 0, 10, 0, 10, 10, 0, 10], np.float32)]]
+    ignore = [[np.array([20, 0, 30, 0, 30, 10, 20, 10], np.float32)]]
+    pred_on_gt = np.array([0, 0, 10, 0, 10, 10, 0, 10, 0.9], np.float32)
+    pred_on_ignore = np.array([20, 0, 30, 0, 30, 10, 20, 10, 0.9],
+                              np.float32)
+    # without ignore info, the don't-care hit is a false positive
+    m = eval_hmean_iou([[pred_on_gt, pred_on_ignore]], gt)
+    assert m['precision'] == 0.5
+    # with it, precision is clean
+    m = eval_hmean_iou([[pred_on_gt, pred_on_ignore]], gt,
+                       gt_ignore=ignore)
+    assert m['precision'] == 1.0 and m['recall'] == 1.0

@@ -44,42 +44,46 @@ class TextDetDataset:
         H, W = self.img_size
         img = cv2.resize(img, (W, H))
         sx, sy = W / w0, H / h0
-        polys = []
+        polys, polys_ignore = [], []
         for ann in line.get('annotations', []):
-            if ann.get('ignore'):
-                continue
             p = np.asarray(ann['polygon'], np.float32).reshape(-1, 2)
             p[:, 0] *= sx
             p[:, 1] *= sy
-            polys.append(p)
-        return img, polys
+            # don't-care ('###') regions are carried separately — they mask
+            # target generation and the hmean protocol, not train/score as
+            # real text
+            (polys_ignore if ann.get('ignore') else polys).append(p)
+        return img, polys, polys_ignore
 
     def __getitem__(self, index: int) -> Dict:
-        img, polys = self._load(index)
+        img, polys, polys_ignore = self._load(index)
         H, W = self.img_size
         out = {
             'img': img.astype(np.float32) / 255.0,
             'gt_polygons': polys,
+            'gt_polygons_ignore': polys_ignore,
             'img_metas': {'filename': self.lines[index]['file_name'],
                           'valid_ratio': 1.0},
             'text': '',
         }
         if not self.test_mode:
-            out.update(self.targets.generate(polys, H, W))
+            out.update(self.targets.generate(
+                polys, H, W, polygons_ignore=polys_ignore))
         return out
 
     def evaluate(self, results: List[List[np.ndarray]], metric='hmean-iou',
                  **kwargs) -> Dict:
         """results: per-image lists of predicted boundaries."""
-        gts = []
+        gts, gts_ignore = [], []
         for i in range(len(self)):
-            _, polys = self._load(i)
+            _, polys, polys_ignore = self._load(i)
             gts.append(polys)
+            gts_ignore.append(polys_ignore)
         if metric == 'hmean-ic13':
             from ..evaluation.hmean_ic13 import eval_hmean_ic13
             return eval_hmean_ic13(results, gts)
         from ..evaluation import eval_hmean_iou
-        return eval_hmean_iou(results, gts)
+        return eval_hmean_iou(results, gts, gt_ignore=gts_ignore)
 
 
 # reference name for the COCO-style icdar wrapper — same JSON-lines loader

@@ -346,10 +346,12 @@ class ProposalLocalGraphs(LocalGraphs):
                 th = max(float(top_h[y, x]), 1.0) * self.comp_shrink_ratio
                 bh = max(float(bot_h[y, x]), 1.0) * self.comp_shrink_ratio
                 s, c = float(sin_p[y, x]), float(cos_p[y, x])
-                top_mid = np.array([x + th * -s, y - th * c])
-                bot_mid = np.array([x - th * -s, y + bh * c])
-                # (sin convention follows the gt generator: direction of the
-                # center line tangent; the normal is (-sin, cos))
+                # same geometry as the gt sampler (targets.py
+                # _sample_comp_attribs): sin/cos are the center-line
+                # TANGENT; top at +th*(s, -c), bot at -bh*(s, -c),
+                # corners offset along the tangent by +-r*(c, s)
+                top_mid = np.array([x + th * s, y - th * c])
+                bot_mid = np.array([x - bh * s, y + bh * c])
                 width = np.clip((th + bh) * self.comp_w_h_ratio,
                                 self.min_width, self.max_width)
                 r = width / 2

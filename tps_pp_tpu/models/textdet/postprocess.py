@@ -38,9 +38,13 @@ class DBPostprocessor:
         for contour in contours[:self.max_candidates]:
             if len(contour) < 3:
                 continue
-            comp = np.zeros_like(mask)
-            cv2.drawContours(comp, [contour], -1, 1, -1)
-            score = float((prob_map * comp).sum() / max(comp.sum(), 1))
+            # score on the boundingRect crop (reference box_score_fast)
+            # — a full-frame draw+sum per candidate is O(cands * H * W)
+            bx, by, bw, bh = cv2.boundingRect(contour)
+            comp_c = np.zeros((bh, bw), np.uint8)
+            cv2.drawContours(comp_c, [contour - [bx, by]], -1, 1, -1)
+            crop = prob_map[by:by + bh, bx:bx + bw]
+            score = float((crop * comp_c).sum() / max(comp_c.sum(), 1))
             if score < self.min_text_score:
                 continue
             area = cv2.contourArea(contour)
@@ -64,6 +68,8 @@ class DBPostprocessor:
                 if di > 0:
                     kernel = cv2.getStructuringElement(
                         cv2.MORPH_ELLIPSE, (2 * di + 1, 2 * di + 1))
+                    comp = np.zeros_like(mask)
+                    cv2.drawContours(comp, [contour], -1, 1, -1)
                     comp = cv2.dilate(comp, kernel)
                     cs, _ = cv2.findContours(comp, cv2.RETR_EXTERNAL,
                                              cv2.CHAIN_APPROX_SIMPLE)
@@ -86,9 +92,10 @@ def _poly_iou(a: np.ndarray, b: np.ndarray, scale: int = 1) -> float:
     all_pts = np.concatenate([pa, pb], axis=0)
     mins = all_pts.min(0)
     maxs = all_pts.max(0)
-    wh = np.maximum((maxs - mins + 2).astype(np.int32), 1)
-    if wh[0] * wh[1] > 4_000_000:  # guard
-        scale = max(scale, int(np.sqrt(wh[0] * wh[1] / 4_000_000)) + 1)
+    wh = np.maximum((maxs - mins + 2).astype(np.int64), 1)
+    area = int(wh[0]) * int(wh[1])   # python ints: no int32 wraparound
+    if area > 4_000_000:  # guard
+        scale = max(scale, int(np.sqrt(area / 4_000_000)) + 1)
     w, h = int(wh[0] // scale) + 1, int(wh[1] // scale) + 1
     ma = np.zeros((h, w), np.uint8)
     mb = np.zeros((h, w), np.uint8)
@@ -99,16 +106,44 @@ def _poly_iou(a: np.ndarray, b: np.ndarray, scale: int = 1) -> float:
     return float(inter) / max(float(union), 1.0)
 
 
+def _ignore_ratio(pred: np.ndarray, ignore: np.ndarray) -> float:
+    """intersection(pred, ignore) / area(pred), rasterized."""
+    pa = np.asarray(pred, np.float32).reshape(-1, 2)
+    pb = np.asarray(ignore, np.float32).reshape(-1, 2)
+    all_pts = np.concatenate([pa, pb], axis=0)
+    mins, maxs = all_pts.min(0), all_pts.max(0)
+    wh = np.maximum((maxs - mins + 2).astype(np.int64), 1)
+    scale = max(1, int(np.sqrt(int(wh[0]) * int(wh[1]) / 4_000_000)) + 1
+                ) if int(wh[0]) * int(wh[1]) > 4_000_000 else 1
+    w, h = int(wh[0] // scale) + 1, int(wh[1] // scale) + 1
+    ma = np.zeros((h, w), np.uint8)
+    mb = np.zeros((h, w), np.uint8)
+    cv2.fillPoly(ma, [((pa - mins) / scale).astype(np.int32)], 1)
+    cv2.fillPoly(mb, [((pb - mins) / scale).astype(np.int32)], 1)
+    inter = np.logical_and(ma, mb).sum()
+    return float(inter) / max(float(ma.sum()), 1.0)
+
+
 def eval_hmean_iou(pred_boundaries: Sequence[Sequence[np.ndarray]],
                    gt_polygons: Sequence[Sequence[np.ndarray]],
-                   iou_thr: float = 0.5) -> Dict[str, float]:
+                   iou_thr: float = 0.5, gt_ignore=None,
+                   ignore_thr: float = 0.5) -> Dict[str, float]:
     """Per-image one-to-one IoU matching -> dataset precision/recall/hmean
-    (reference hmean_iou protocol)."""
+    (reference hmean_iou protocol). ``gt_ignore``: per-image don't-care
+    polygons — predictions mostly covered by one are discarded before
+    precision is computed (ICDAR protocol; reference eval_utils
+    ignore_pred)."""
     n_gt = n_pred = n_match = 0
-    for preds, gts in zip(pred_boundaries, gt_polygons):
+    if gt_ignore is None:
+        gt_ignore = [[] for _ in pred_boundaries]
+    for preds, gts, ignores in zip(pred_boundaries, gt_polygons, gt_ignore):
         # boundaries may carry a trailing score (odd length) — strip it
         preds = [np.asarray(p, np.float32).reshape(-1) for p in preds]
         preds = [p[:-1] if len(p) % 2 else p for p in preds]
+        if len(ignores):
+            preds = [p for p in preds
+                     if max((_ignore_ratio(p, ig) for ig in ignores),
+                            default=0.0) < ignore_thr]
         n_gt += len(gts)
         n_pred += len(preds)
         used = set()

@@ -166,7 +166,10 @@ def sideline_center(points: np.ndarray, resample_step: float = 4.0):
     n = len(points)
     keep = [i for i in range(n)
             if _norm(points[i] - points[(i + 1) % n]) > 1e-5]
-    points = points[keep]
+    if len(keep) >= 4:
+        # dropping duplicated consecutive vertices must not push a valid
+        # polygon below the 4 points find_head_tail requires
+        points = points[keep]
     _, _, top_line, bot_line = reorder_poly_edge(points)
     top, bot = resample_sidelines(top_line, bot_line, resample_step)
     bot = bot[::-1]
@@ -322,9 +325,13 @@ def centralize(points_yx, normal_sin, normal_cos, radius, contour_mask,
     # could never leave the mask — the reference assumes trained positive
     # radii; freeze them instead of spinning forever, and hard-cap the walk
     # at the worst-case mask crossing
-    alive = (np.abs(step).max(axis=1, keepdims=True) > 1e-6)
-    max_iters = int(np.ceil(
-        (h + w) / max(float(np.abs(step).max(initial=0.0)), 1e-6))) + 8
+    step_sizes = np.abs(step).max(axis=1, keepdims=True)
+    alive = step_sizes > 1e-6
+    # cap the walk so the SMALLEST live step can still cross the mask: a
+    # single garbage huge radius must not freeze normal points mid-walk
+    live = step_sizes[alive]
+    min_step = float(live.min()) if live.size else 1.0
+    max_iters = min(int(np.ceil((h + w) / max(min_step, 1e-3))) + 8, 4096)
     for sign in (1.0, -1.0):
         cur = top_yx if sign > 0 else bot_yx
         step_flags = alive.copy()
@@ -333,7 +340,7 @@ def centralize(points_yx, normal_sin, normal_cos, radius, contour_mask,
                 break
             next_yx = np.array(cur + sign * step, dtype=np.int32)
             ny, nx = next_yx[:, 0], next_yx[:, 1]
-            inside = ((ny >= 0) & (ny < h) & (nx > 0) & (nx < w) &
+            inside = ((ny >= 0) & (ny < h) & (nx >= 0) & (nx < w) &
                       contour_mask[np.clip(ny, 0, h - 1),
                                    np.clip(nx, 0, w - 1)].astype(bool))
             step_flags = step_flags & inside.reshape(-1, 1)

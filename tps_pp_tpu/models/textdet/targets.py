@@ -43,11 +43,20 @@ class DBNetTargets:
         self.min_short_size = min_short_size
 
     def generate(self, polygons: Sequence[np.ndarray], h: int,
-                 w: int) -> Dict[str, np.ndarray]:
+                 w: int, polygons_ignore: Sequence[np.ndarray] = ()
+                 ) -> Dict[str, np.ndarray]:
         gt_shrink = np.zeros((h, w), np.float32)
         gt_shrink_mask = np.ones((h, w), np.float32)
         gt_thr = np.zeros((h, w), np.float32)
         gt_thr_mask = np.zeros((h, w), np.float32)
+
+        # don't-care regions train as neither positives nor negatives:
+        # zero the effective mask there (reference dbnet_targets.py
+        # ignore_texts -> gt_shrink_mask)
+        for poly in polygons_ignore:
+            mask = _poly_mask(np.asarray(poly, np.float32).reshape(-1, 2),
+                              h, w)
+            gt_shrink_mask[mask > 0] = 0
 
         for poly in polygons:
             poly = np.asarray(poly, np.float32).reshape(-1, 2)
@@ -79,7 +88,9 @@ class DBNetTargets:
     def __call__(self, results: Dict) -> Dict:
         h, w = results['img'].shape[:2]
         polygons = results.get('gt_polygons', [])
-        results.update(self.generate(polygons, h, w))
+        ignores = results.get('gt_polygons_ignore', [])
+        results.update(self.generate(polygons, h, w,
+                                     polygons_ignore=ignores))
         return results
 
 
@@ -480,12 +491,16 @@ class DRRGTargets:
             th = top_map[y, x] * self.comp_shrink_ratio
             bh = bot_map[y, x] * self.comp_shrink_ratio
             s, c = sin_map[y, x], cos_map[y, x]
-            top_mid = np.array([x - th * s, y - th * c])
-            bot_mid = np.array([x + bh * s, y + bh * c])
+            # sin/cos encode the center-line TANGENT (c, s); the height
+            # axis is its perpendicular: top at +th*(s, -c), bot at
+            # -bh*(s, -c) (image y points down), corners offset along the
+            # tangent by +-r*(c, s)
+            top_mid = np.array([x + th * s, y - th * c])
+            bot_mid = np.array([x - bh * s, y + bh * c])
             width = np.clip((th + bh) * self.comp_w_h_ratio,
                             self.min_width, self.max_width)
             r = width / 2
-            dx, dy = c * r, -s * r
+            dx, dy = c * r, s * r
             quad = np.array([top_mid + [-dx, -dy], top_mid + [dx, dy],
                              bot_mid + [dx, dy], bot_mid + [-dx, -dy]])
             comps.append(np.hstack([quad.reshape(-1), [1.0]]))
