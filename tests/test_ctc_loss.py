@@ -66,3 +66,74 @@ def test_ctc_empty_transcript_matches_torch():
         torch.full((N,), T, dtype=torch.long),
         torch.from_numpy(lengths.astype(np.int64)))
     np.testing.assert_allclose(float(out['loss_ctc']), float(ref), rtol=1e-4)
+
+
+def test_ctc_zero_infinity_and_long_label_clamp():
+    """(1) zero_infinity zeroes optax's saturated (~1e5, FINITE) losses like
+    torch zeroes its infs; (2) labels longer than the frame count clamp to
+    T like the reference (ctc_loss.py:92 clamp max=seq_len)."""
+    rng = np.random.default_rng(3)
+    N, T, C = 2, 5, 8
+    logits = rng.standard_normal((N, T, C)).astype(np.float32)
+    # row 0: unalignable without the clamp (7 labels > 5 frames); labels
+    # are distinct so the CLAMPED prefix (5 labels, 5 frames) aligns — a
+    # repeat would need a blank between and stay unalignable (inf in torch
+    # too, regardless of the clamp)
+    lengths = np.array([7, 3], np.int32)
+    labels = np.zeros((N, 10), np.int32)
+    labels[0, :7] = np.array([1, 2, 3, 4, 5, 6, 7])
+    labels[1, :3] = rng.integers(1, C, size=3)
+
+    out = CTCLoss(reduction='mean')(
+        logits, {'padded_targets': labels, 'target_lengths': lengths})
+    # torch with the reference's clamp-to-seq_len
+    t_logp = torch.log_softmax(torch.from_numpy(logits), 2).permute(1, 0, 2)
+    cl = np.minimum(lengths, T)
+    flat = np.concatenate([labels[i, :cl[i]] for i in range(N)])
+    ref = torch.nn.CTCLoss(blank=0, reduction='mean')(
+        t_logp, torch.from_numpy(flat.astype(np.int64)),
+        torch.full((N,), T, dtype=torch.long),
+        torch.from_numpy(cl.astype(np.int64)))
+    np.testing.assert_allclose(float(out['loss_ctc']), float(ref), rtol=1e-3)
+
+    # zero_infinity: an (artificially) unalignable row contributes 0, like
+    # torch — bypass the clamp by padding the label row with repeats, which
+    # CTC cannot align within T frames even after clamping... instead test
+    # the threshold directly: repeated distinct labels of length T cannot
+    # align when they contain repeats needing blanks (T labels with a
+    # repeat need T+1 frames).
+    labels2 = np.zeros((1, T), np.int32)
+    labels2[0] = [1, 1, 2, 2, 3]      # repeats force blanks: needs 7 frames
+    out2 = CTCLoss(reduction='mean', zero_infinity=True)(
+        logits[:1], {'padded_targets': labels2,
+                     'target_lengths': np.array([T], np.int32)})
+    assert float(out2['loss_ctc']) == 0.0
+    out3 = CTCLoss(reduction='mean', zero_infinity=False)(
+        logits[:1], {'padded_targets': labels2,
+                     'target_lengths': np.array([T], np.int32)})
+    assert float(out3['loss_ctc']) > 1e3   # saturated without the switch
+
+
+def test_ctc_unflatten_valid_ratio_matches_torch():
+    """flatten=False: only ceil(valid_ratio*T) frames join the alignment
+    (reference ctc_loss.py:96-101)."""
+    rng = np.random.default_rng(4)
+    N, T, C = 3, 12, 8
+    logits = rng.standard_normal((N, T, C)).astype(np.float32)
+    lengths = np.array([4, 2, 3], np.int32)
+    labels = np.zeros((N, 6), np.int32)
+    for i, L in enumerate(lengths):
+        labels[i, :L] = rng.integers(1, C, size=L)
+    vr = np.array([0.5, 1.0, 0.75], np.float32)
+
+    out = CTCLoss(flatten=False, reduction='mean')(
+        logits, {'padded_targets': labels, 'target_lengths': lengths},
+        valid_ratio=vr)
+    t_logp = torch.log_softmax(torch.from_numpy(logits), 2).permute(1, 0, 2)
+    flat = np.concatenate([labels[i, :lengths[i]] for i in range(N)])
+    in_len = np.ceil(vr * T).astype(np.int64)
+    ref = torch.nn.CTCLoss(blank=0, reduction='mean')(
+        t_logp, torch.from_numpy(flat.astype(np.int64)),
+        torch.from_numpy(in_len),
+        torch.from_numpy(lengths.astype(np.int64)))
+    np.testing.assert_allclose(float(out['loss_ctc']), float(ref), rtol=1e-3)

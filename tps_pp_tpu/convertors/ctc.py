@@ -47,10 +47,13 @@ class CTCConvertor(BaseConvertor):
     def str2tensor(self, strings: List[str]):
         indexes = self.str2idx(strings)
         target_lengths = np.asarray([len(x) for x in indexes], dtype=np.int32)
-        flatten = (np.concatenate([np.asarray(x, dtype=np.int32)
-                                   for x in indexes])
-                   if indexes and any(len(x) for x in indexes)
-                   else np.zeros((0,), dtype=np.int32))
+        # each label clamped to max_seq_len so the field stays consistent
+        # with the clipped target_lengths below (torch flatten=True pairing)
+        flatten = (np.concatenate([
+            np.asarray(x, dtype=np.int32)[:self.max_seq_len]
+            for x in indexes])
+            if indexes and any(len(x) for x in indexes)
+            else np.zeros((0,), dtype=np.int32))
         # dense (N, L) labels padded with 0 (= blank, ignored via lengths)
         padded = np.zeros((len(strings), self.max_seq_len), dtype=np.int32)
         for i, index in enumerate(indexes):

@@ -19,9 +19,13 @@ from .ctc import CTCConvertor
 
 def _mask_pair(index: np.ndarray, mask_ids: Sequence[int], unknown: int):
     """(masked, complement): masked has <UKN> at mask positions, complement
-    has <UKN> everywhere else (reference maskctc.py mask_id_gen)."""
+    has <UKN> everywhere else (reference maskctc.py mask_id_gen). Out-of-
+    range ids (the reference indexes torch tensors, which would error the
+    pipeline) are dropped."""
     sel = np.zeros(len(index), bool)
-    sel[np.asarray(list(mask_ids), int)] = True
+    ids = np.asarray(list(mask_ids), int)
+    ids = ids[(ids >= 0) & (ids < len(index))]
+    sel[ids] = True
     masked = np.where(sel, unknown, index).astype(np.int32)
     other = np.where(~sel, unknown, index).astype(np.int32)
     return masked, other
@@ -49,8 +53,14 @@ class Mask_ABIConvertor(AttnConvertor):
 
     def str2tensor_mask(self, strings: List[str], mask_ids):
         out = self.str2tensor(strings)
-        pairs = [_mask_pair(np.asarray(t), m, self.unknown_idx)
-                 for t, m in zip(out['targets'], mask_ids)]
+        # the reference masks the ABI-shaped tensors — truncated to
+        # max_seq_len-1 and EOS-terminated (mask_abi.py:51-52) — not the
+        # raw char indexes, so pair lengths line up with its mask ids
+        tensors = [np.concatenate([
+            np.asarray(t, np.int32)[:self.max_seq_len - 1],
+            [self.end_idx]]) for t in out['targets']]
+        pairs = [_mask_pair(t, m, self.unknown_idx)
+                 for t, m in zip(tensors, mask_ids)]
         out['masked_targets'] = [p[0] for p in pairs]
         out['other_targets'] = [p[1] for p in pairs]
         return out

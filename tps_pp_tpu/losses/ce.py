@@ -32,12 +32,15 @@ def _masked_ce(logits, targets, ignore_index: int, reduction: str = 'none'):
     reference pipeline where the 'none' vector is mean()-ed by
     _parse_losses (recognizer/base.py:107-110).
     """
+    assert reduction in ('none', 'mean', 'sum'), reduction
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     tgt = jnp.clip(targets, 0, logits.shape[-1] - 1)
     nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
     mask = (targets != ignore_index).astype(jnp.float32)
     if reduction == 'mean':
         return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    if reduction == 'sum':
+        return jnp.sum(nll * mask)
     return jnp.sum(nll * mask) / targets.size
 
 
