@@ -75,6 +75,24 @@ def test_train_eval_loop(tmp_path):
                               batch_size=10)
     assert 'word_acc_ignore_case_symbol' in metrics
 
+    # weights-only load from a FULL checkpoint (subset template: orbax
+    # needs partial_restore, previously raised ValueError)
+    variables = rec.init_variables(__import__('jax').random.PRNGKey(1),
+                                   (1, 32, 100, 1))
+    loaded = mgr.load_weights(variables)
+    leaf0 = __import__('jax').tree.leaves(loaded['params'])[0]
+    ref0 = __import__('jax').tree.leaves(state.params)[0]
+    np.testing.assert_array_equal(np.asarray(leaf0), np.asarray(ref0))
+
+    # resume honors the explicit path and continues from the saved epoch:
+    # a fully-trained job resumes with NOTHING left to do (no replay) and
+    # keeps the restored optimizer step
+    state2, history2 = train_recognizer(
+        rec, train_ds, cfg, work_dir=str(tmp_path / 'wd2'),
+        resume_from=str(tmp_path / 'wd'), seed=0)
+    assert int(state2.step) == int(state.step)
+    assert not [h for h in history2 if 'loss' in h]   # no epochs replayed
+
 
 def test_model_inference_api():
     from tps_pp_tpu.apis.inference import init_recognizer, model_inference

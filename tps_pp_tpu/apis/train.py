@@ -50,8 +50,11 @@ def train_recognizer(rec, train_dataset, cfg: Dict,
             batch_size = ((batch_size + n_data - 1) // n_data) * n_data
             logger.info('batch size rounded up to %d (multiple of the '
                         "mesh's %d-way data axis)", batch_size, n_data)
+    # 'spawn' workers: forking after the JAX/TPU backend initialized (its
+    # gRPC/runtime threads may hold locks) risks deadlocked children
     loader = DataLoader(train_dataset, batch_size, shuffle=True, seed=seed,
-                        num_workers=int(cfg.get('workers_per_gpu', 0)))
+                        num_workers=int(cfg.get('workers_per_gpu', 0)),
+                        mp_context='spawn')
     steps_per_epoch = len(loader)
 
     opt_cfg = dict(cfg.get('optimizer', dict(type='Adam', lr=1e-4)))
@@ -72,17 +75,34 @@ def train_recognizer(rec, train_dataset, cfg: Dict,
     if work_dir:
         from ..utils.checkpoint import CheckpointManager
         ckpt_mgr = CheckpointManager(work_dir)
-        if resume_from:
-            state = ckpt_mgr.restore(state)
-            logger.info('resumed from step %d', int(state.step))
+    if resume_from:
+        # resume_from is a PATH (reference --resume-from semantics): an
+        # orbax directory, optionally with a trailing step component. It
+        # must not be silently aliased to work_dir's latest checkpoint.
+        import os as _os
+        from ..utils.checkpoint import CheckpointManager
+        rdir = _os.path.normpath(str(resume_from))
+        rstep = None
+        if _os.path.basename(rdir).isdigit():
+            rdir, rstep = _os.path.dirname(rdir), int(_os.path.basename(rdir))
+        mgr = (ckpt_mgr if work_dir and
+               _os.path.abspath(rdir) == _os.path.abspath(work_dir)
+               else CheckpointManager(rdir))
+        state = mgr.restore(state, step=rstep)
+        logger.info('resumed from %s step %d', rdir, int(state.step))
 
     if mesh is not None:
         state = shard_state(state, mesh)
     train_step = make_train_step(rec, mesh=mesh)
     rng = jax.random.PRNGKey(seed + 1)
 
+    # a resumed job continues from its epoch, not from 0 (the reference
+    # runner restores the epoch counter; replaying would overshoot the
+    # schedule by up to total_epochs extra epochs)
+    start_epoch = min(int(state.step) // max(steps_per_epoch, 1),
+                      total_epochs)
     history = []
-    for epoch in range(total_epochs):
+    for epoch in range(start_epoch, total_epochs):
         loader.set_epoch(epoch)
         t0 = time.time()
         for it, host_batch in enumerate(loader):

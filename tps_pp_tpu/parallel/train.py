@@ -15,6 +15,7 @@ from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -69,6 +70,15 @@ def build_optimizer(cfg: Dict, steps_per_epoch: int = 1):
     base_lr = cfg.pop('lr', 1e-4)
     grad_clip = cfg.pop('grad_clip', None)
     sched_cfg = cfg.pop('lr_config', None) or {}
+    # translate torch/mmcv optimizer keys to optax's
+    if 'betas' in cfg:
+        cfg['b1'], cfg['b2'] = cfg.pop('betas')
+    # torch's coupled weight_decay (L2 added to the gradient BEFORE the
+    # moment updates) == chain(add_decayed_weights, opt); optax.adamw's own
+    # decoupled decay keeps its kwarg
+    l2 = None
+    if opt_type.lower() != 'adamw':
+        l2 = cfg.pop('weight_decay', None)
     schedule = make_lr_schedule(
         base_lr,
         warmup_steps=int(sched_cfg.get('warmup_epochs', 0) * steps_per_epoch)
@@ -87,6 +97,8 @@ def build_optimizer(cfg: Dict, steps_per_epoch: int = 1):
         tx = optax.sgd(schedule, **cfg)
     else:
         raise ValueError(opt_type)
+    if l2:
+        tx = optax.chain(optax.add_decayed_weights(l2), tx)
     if grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(
             grad_clip.get('max_norm', 1.0)), tx)
@@ -130,11 +142,27 @@ def make_train_step(recognizer, mesh=None, donate: bool = True) -> Callable:
 
 
 def shard_state(state: TrainState, mesh) -> TrainState:
-    """Place params per the TP rules; re-init opt_state under jit so its
-    moment trees inherit the param shardings from XLA propagation."""
+    """Place params per the TP rules and move the EXISTING opt_state onto
+    the layout a jitted tx.init produces (XLA propagates the param
+    shardings into the moment trees). The existing state is placed — not
+    re-initialized — so a resume's restored Adam moments and schedule
+    count survive sharding."""
     p_sh = param_sharding(state.params, mesh)
     params = jax.device_put(state.params, p_sh)
-    opt_state = jax.jit(state.tx.init)(params)
+    layout = jax.jit(state.tx.init)(params)
+    rep_all = replicated(mesh)
+    mesh_devs = set(np.asarray(mesh.devices).flat)
+
+    def _sh(x):
+        # input-independent leaves (the schedule count scalar) come back
+        # single-device from the jitted init; everything on the step's
+        # mesh must be mesh-wide
+        s = x.sharding
+        return s if set(s.device_set) == mesh_devs else rep_all
+
+    shardings = jax.tree.map(_sh, layout)
+    del layout
+    opt_state = jax.device_put(state.opt_state, shardings)
     rep = replicated(mesh)
     bs = jax.tree.map(lambda x: jax.device_put(x, rep), state.batch_stats)
     return state.replace(params=params, opt_state=opt_state, batch_stats=bs,

@@ -44,9 +44,35 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def _restore_subset(self, step: int, template: Dict):
+        """StandardRestore with a SUBSET template: orbax rejects structure
+        mismatches (a weights-only template vs an on-disk checkpoint that
+        also holds opt_state/step/meta raises ValueError) unless
+        partial_restore is requested; fall back for orbax builds without
+        the flag by restoring everything and projecting. Either way the
+        result is re-imposed onto the template's tree structure — orbax
+        round-trips namedtuples (optax opt states) as plain dicts, which
+        would break tx.update and sharding placement."""
+        ocp = _ocp()
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(
+                    template, partial_restore=True))
+        except TypeError:   # older orbax: no partial_restore kwarg
+            full = self._mgr.restore(step)
+            restored = {k: full[k] for k in template}
+        out = {}
+        for k, tmpl in template.items():
+            leaves = jax.tree_util.tree_leaves(restored[k])
+            treedef = jax.tree_util.tree_structure(tmpl)
+            if treedef.num_leaves == len(leaves):
+                out[k] = jax.tree_util.tree_unflatten(treedef, leaves)
+            else:
+                out[k] = restored[k]
+        return out
+
     def restore(self, state, step: Optional[int] = None):
         """Full resume: params + opt_state + step."""
-        ocp = _ocp()
         step = step if step is not None else self.latest_step()
         template = {
             'params': state.params,
@@ -54,8 +80,7 @@ class CheckpointManager:
             'opt_state': state.opt_state,
             'step': np.asarray(state.step),
         }
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(template))
+        restored = self._restore_subset(step, template)
         return state.replace(
             params=restored['params'],
             batch_stats=restored['batch_stats'],
@@ -64,14 +89,12 @@ class CheckpointManager:
 
     def load_weights(self, variables, step: Optional[int] = None):
         """Weights-only load (reference --load-from semantics)."""
-        ocp = _ocp()
         step = step if step is not None else self.latest_step()
         template = {
             'params': variables['params'],
             'batch_stats': variables.get('batch_stats', {}),
         }
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(template))
+        restored = self._restore_subset(step, template)
         out = dict(variables)
         out['params'] = restored['params']
         if restored.get('batch_stats'):
