@@ -109,6 +109,9 @@ class ABILanguageDecoder(nn.Module):
     @nn.compact
     def __call__(self, feat, logits, targets=None, valid_ratio=None,
                  train: bool = False):
+        # the reference BCN's optional self-attention operation is not
+        # implemented; fail loudly rather than build a different model
+        assert not self.use_self_attn, 'use_self_attn is not implemented'
         N, T, _ = logits.shape
         lengths = self._get_length(logits)
         tokens = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)

@@ -72,7 +72,10 @@ def greedy_decode(apply_method, feat, out_enc, valid_ratio, *,
     state = (jnp.zeros((), jnp.int32), tokens0, carry,
              jnp.zeros((N,), bool), buf)
     for end in bounds:
-        kv_limit = min(end + 1, max_seq_len + 1) if kv_bucket > 0 else None
+        # steps in this phase satisfy t < end and step t attends slots
+        # [0..t], so `end` slots suffice — end+1 would misalign every
+        # bucket off the power-of-two tiling it was chosen for
+        kv_limit = min(end, max_seq_len + 1) if kv_bucket > 0 else None
 
         def cond(s, _end=end):
             t, _, _, done, _ = s

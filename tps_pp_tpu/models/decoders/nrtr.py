@@ -73,6 +73,10 @@ class NRTRDecoder(nn.Module):
 
     def _embed(self, trg_seq, train: bool, offset: int = 0):
         x = self.trg_word_emb(trg_seq)
+        # torch nn.Embedding(padding_idx=...) pins the pad row at zero
+        # (zero init + no grads); emulate by zeroing at lookup — otherwise
+        # from-scratch training leaves the pad embedding at its random init
+        x = jnp.where((trg_seq == self.padding_idx)[..., None], 0.0, x)
         x = self.position_enc(x, deterministic=not train, offset=offset)
         return self.drop(x, deterministic=not train)
 
@@ -162,6 +166,10 @@ class NRTRDecoder(nn.Module):
         """
         enc_kvs, src_mask = static
         if self.use_fused_step:
+            # the fused step kernels unpack bf16 2-tuple caches;
+            # decode_init's int8 caches are 4-tuples (values + scales)
+            assert self.kv_dtype != 'int8', (
+                'use_fused_step does not support kv_dtype=int8')
             return self._fused_decode_step(token, t, carry, static)
         if self.kv_dtype == 'int8':
             return self._decode_step_q8(token, t, carry, static, kv_limit)

@@ -119,9 +119,19 @@ class SequenceAttentionDecoder(nn.Module):
         mask = _width_mask(valid_ratio, h, w) if self.mask else None
         return dot_product_attention(query, key, value, mask)
 
+    def _embed(self, tokens):
+        emb = self.embedding(tokens)
+        if self.padding_idx is not None:
+            # torch nn.Embedding(padding_idx=...) pins the row at zero;
+            # pad tokens feed the query LSTM so a drifting row would
+            # diverge the state from the reference
+            emb = jnp.where((tokens == self.padding_idx)[..., None],
+                            0.0, emb)
+        return emb
+
     def __call__(self, feat, out_enc, targets=None, valid_ratio=None,
                  train: bool = False):
-        emb = self.embedding(targets)
+        emb = self._embed(targets)
         query = self._query(emb)
         attn = self._attend(query, feat, out_enc, valid_ratio)
         if self.return_feature:
@@ -137,7 +147,7 @@ class SequenceAttentionDecoder(nn.Module):
 
     def decode_step(self, token, t, carry, static):
         feat, out_enc, valid_ratio = static
-        x = self.embedding(token)
+        x = self._embed(token)
         new_carry = []
         for rnn, (h, c) in zip(self.rnns, carry):
             h, c = _lstm_cell_step(rnn, x, h, c)
@@ -181,7 +191,9 @@ class PositionAttentionDecoder(nn.Module):
         pos_idx = jnp.broadcast_to(jnp.arange(len_q)[None], (n, len_q))
         query = self.embedding(pos_idx)
         pos_enc = self.position_aware_module(out_enc)
-        key = pos_enc.reshape(n, h * w, c_enc)
+        # pos_enc's channel dim is dim_model — reshaping with c_enc only
+        # works when the config keeps them equal
+        key = pos_enc.reshape(n, h * w, pos_enc.shape[-1])
         value = (out_enc.reshape(n, h * w, c_enc) if self.encode_value
                  else feat.reshape(n, h * w, feat.shape[-1]))
         mask = _width_mask(valid_ratio, h, w) if self.mask else None

@@ -43,8 +43,13 @@ class ParallelSARDecoder(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
+        # the decoder LSTM here is the carried-state scan form; the
+        # reference's bidirectional/inter-layer-dropout options are not
+        # implemented — fail loudly instead of silently building a
+        # different architecture than the config asked for
+        assert not self.dec_bi_rnn, 'dec_bi_rnn is not implemented'
+        assert not self.dec_do_rnn, 'dec_do_rnn is not implemented'
         enc_size = self.d_enc * (int(self.enc_bi_rnn) + 1)
-        dec_size = enc_size * (int(self.dec_bi_rnn) + 1)
         self.conv1x1_1 = nn.Dense(self.d_k, dtype=self.dtype)
         self.conv3x3_1 = nn.Conv(self.d_k, (3, 3), padding=((1, 1), (1, 1)),
                                  dtype=self.dtype)
@@ -60,11 +65,14 @@ class ParallelSARDecoder(nn.Module):
         self._enc_size = enc_size
 
     # --- shared attention ------------------------------------------------
-    def _attend(self, y, feat, valid_ratio):
+    def _attend(self, y, feat, valid_ratio, key=None):
         """y: (N, T, H) decoder hiddens; feat: (N, h, w, C).
-        Returns glimpse (N, T, C)."""
+        Returns glimpse (N, T, C). ``key`` lets decode steps reuse the
+        step-invariant conv3x3_1(feat) computed once in decode_init
+        (hoisting out of the scan is otherwise up to XLA's LICM)."""
         query = self.conv1x1_1(y)                       # (N, T, d_k)
-        key = self.conv3x3_1(feat)                      # (N, h, w, d_k)
+        if key is None:
+            key = self.conv3x3_1(feat)                  # (N, h, w, d_k)
         attn = jnp.tanh(key[:, None] + query[:, :, None, None, :])
         attn = self.conv1x1_2(attn)[..., 0]             # (N, T, h, w)
         if self.mask and valid_ratio is not None:
@@ -104,13 +112,8 @@ class ParallelSARDecoder(nn.Module):
     # --- generic AR protocol ---------------------------------------------
     def _lstm_cell(self, rnn, x, h, c):
         """One step of a TorchLSTMCellScan using its own params."""
-        p = rnn.variables['params']
-        gates = (x @ p['weight_ih'].T + p['bias_ih'] + h @ p['weight_hh'].T +
-                 p['bias_hh'])
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h = jax.nn.sigmoid(o) * jnp.tanh(c)
-        return h, c
+        from .robust_scanner import _lstm_cell_step
+        return _lstm_cell_step(rnn, x, h, c)
 
     def decode_init(self, feat, out_enc, valid_ratio=None):
         N = out_enc.shape[0]
@@ -120,17 +123,17 @@ class ParallelSARDecoder(nn.Module):
         h0, c0 = self._lstm_cell(self.rnn0, out_enc, z, z)
         h1, c1 = self._lstm_cell(self.rnn1, h0, z, z)
         carry = (h0, c0, h1, c1)
-        static = (feat, out_enc, valid_ratio)
+        static = (feat, out_enc, valid_ratio, self.conv3x3_1(feat))
         return carry, static
 
     def decode_step(self, token, t, carry, static):
         h0, c0, h1, c1 = carry
-        feat, out_enc, valid_ratio = static
+        feat, out_enc, valid_ratio, key = static
         x = self.embedding(token)
         h0, c0 = self._lstm_cell(self.rnn0, x, h0, c0)
         h1, c1 = self._lstm_cell(self.rnn1, h0, h1, c1)
         y = h1[:, None, :]
-        glimpse = self._attend(y, feat, valid_ratio)
+        glimpse = self._attend(y, feat, valid_ratio, key=key)
         out = self._predict(y, glimpse, out_enc, train=False)[:, 0]
         probs = jax.nn.softmax(out.astype(jnp.float32), axis=-1)
         return probs, (h0, c0, h1, c1)

@@ -132,12 +132,6 @@ class MultiHeadAttention(nn.Module):
         out = self._attend(q, k_cache, v_cache, mask, deterministic)
         out = self.fc(out)
         return self.proj_drop(out, deterministic=deterministic)
-
-    def project_self_kv(self, x):
-        """Project a step's K/V for appending to a self-attention cache."""
-        return (self._split(self.linear_k(x), self.d_k),
-                self._split(self.linear_v(x), self.d_v))
-
     def qkv_fused(self, y):
         """Q/K/V of a (N, 1, D) step in ONE matmul against the concatenated
         kernels — decode-path optimization; parameters unchanged, so
@@ -265,34 +259,5 @@ class TFDecoderLayer(nn.Module):
                 deterministic=deterministic))
             x = self.norm3(x + self.mlp(x, deterministic=deterministic))
         return x
-
-    def call_step(self, x_step, self_k, self_v, self_mask, enc_k, enc_v,
-                  enc_mask, deterministic: bool = True):
-        """One decode step with KV caches.
-
-        Args:
-          x_step: (N, 1, D) current-position activations.
-          self_k/self_v: (N, h, T_max, d) caches ALREADY containing this
-            step's projected k/v at its position.
-          self_mask: (N, T_max) 1 for positions <= current step.
-          enc_k/enc_v: precomputed encoder K/V.
-        """
-        assert self.prenorm, 'cached decode implemented for prenorm NRTR'
-        y = self.norm1(x_step)
-        x = x_step + self.self_attn.call_cached(
-            y, self_k, self_v, mask=self_mask, deterministic=deterministic)
-        y = self.norm2(x)
-        x = x + self.enc_attn.call_cached(
-            y, enc_k, enc_v, mask=enc_mask, deterministic=deterministic)
-        x = x + self.mlp(self.norm3(x), deterministic=deterministic)
-        return x
-
-    def project_self_kv_for_cache(self, x_step):
-        """Projected self-attn K/V of the (pre-norm'd) current step, for
-        insertion into the cache. Matches what __call__ computes for this
-        position: k/v are functions of norm1(x)."""
-        y = self.norm1(x_step)
-        return self.self_attn.project_self_kv(y)
-
     def project_enc_kv(self, enc_output):
         return self.enc_attn.project_kv(enc_output)
