@@ -86,3 +86,22 @@ def test_tps_pallas_mode_is_trainable():
     assert np.isfinite(float(loss))
     assert all(np.isfinite(np.asarray(g)).all()
                for g in jax.tree.leaves(grads))
+
+
+def test_moran_enhance_iterations_share_weights():
+    """enhance >= 1 refines offsets with the SAME offset net (reference
+    moran.py:94-103 reuses self.cnn); per-iteration re-declaration raised
+    flax NameInUseError."""
+    import jax
+    import jax.numpy as jnp
+
+    from tps_pp_tpu.models.rectifiers.moran import MORAN
+
+    m = MORAN(num_img_channel=3, img_size=(16, 32), enhance=2)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 16, 32, 3)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == x.shape
+    # one shared set of conv/bn params regardless of enhance count
+    assert sum(k.startswith('conv') for k in v['params']) == 5

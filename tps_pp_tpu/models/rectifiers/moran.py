@@ -48,14 +48,21 @@ class MORAN(nn.Module):
         base = jnp.asarray(_identity_grid(H, W))[None]
         base = jnp.broadcast_to(base, (x.shape[0], H, W, 2))
 
+        # declare the offset-net layers ONCE and call the same instances in
+        # every refinement iteration: the reference reuses self.cnn across
+        # enhance iterations (weight sharing, moran.py:94-103), and
+        # re-declaring name='conv0' per call raises flax NameInUseError
+        convs = [nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
+                         dtype=self.dtype, name=f'conv{i}')
+                 for i, ch in enumerate([64, 128, 64, 16, 1])]
+        bns = [nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=self.dtype, name=f'bn{i}')
+               for i in range(5)]
+
         def offset_net(v):
             v = max_pool(v, 2, 2)
-            for i, ch in enumerate([64, 128, 64, 16, 1]):
-                v = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
-                            dtype=self.dtype, name=f'conv{i}')(v)
-                v = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, dtype=self.dtype,
-                                 name=f'bn{i}')(v)
+            for i, (conv, bn) in enumerate(zip(convs, bns)):
+                v = bn(conv(v))
                 if i < 4:
                     v = nn.relu(v)
                 if i in (0, 1):

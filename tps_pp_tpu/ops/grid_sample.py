@@ -71,18 +71,18 @@ def grid_sample(img: jax.Array, grid: jax.Array, padding_mode: str = "border",
 
     wx = wx[..., None]
     wy = wy[..., None]
-    out = ((v00 * (1 - wx) + v01 * wx) * (1 - wy) +
-           (v10 * (1 - wx) + v11 * wx) * wy)
-
     if padding_mode == "zeros":
         # zero out contributions from out-of-bounds corners (torch semantics)
         def inb(yi, xi):
             return ((yi >= 0) & (yi <= H - 1) & (xi >= 0) &
-                    (xi <= W - 1)).astype(out.dtype)[..., None]
+                    (xi <= W - 1)).astype(v00.dtype)[..., None]
         out = ((v00 * inb(y0i, x0i) * (1 - wx) + v01 * inb(y0i, x1i) * wx) *
                (1 - wy) +
                (v10 * inb(y1i, x0i) * (1 - wx) + v11 * inb(y1i, x1i) * wx) *
                wy)
+    else:
+        out = ((v00 * (1 - wx) + v01 * wx) * (1 - wy) +
+               (v10 * (1 - wx) + v11 * wx) * wy)
     return out.astype(img.dtype)
 
 
