@@ -133,12 +133,26 @@ def train_detector(cfg: ConfigDict, train_ds, work_dir: Optional[str] = None,
                                     interpolation=cv2.INTER_NEAREST)
                          for a in arr])
 
+    # the jitted PAN aggregation/discrimination is vectorized over a STATIC
+    # max_instances axis; instances past it get no embedding supervision —
+    # make the cap detectable instead of silent (No-silent-caps rule)
+    _warned_cap = [False]
+    _max_inst = getattr(loss_fn, 'max_instances', None)
+
     def make_batch(indices):
         imgs, tgts = [], {k: [] for k in keys}
         for i in indices:
             item = train_ds[int(i)]
             if keys[0] not in item:
                 item = targets(item)
+            if (_max_inst and not _warned_cap[0] and
+                    len(item.get('gt_polygons', ())) > _max_inst):
+                logger.warning(
+                    'image has %d text instances but the loss supervises '
+                    'embeddings for at most max_instances=%d — raise '
+                    'model.loss.max_instances', len(item['gt_polygons']),
+                    _max_inst)
+                _warned_cap[0] = True
             imgs.append(item['img'])
             for k in keys:
                 tgts[k].append(_rescale(item[k]))

@@ -53,6 +53,13 @@ class UNet(nn.Module):
         for i in range(self.num_stages - 2, -1, -1):
             N, H, W, C = skips[i].shape
             x = jax.image.resize(x, (N, H, W, x.shape[-1]), 'bilinear')
+            # reference UNet's default InterpConv: bilinear upsample then a
+            # 1x1 conv HALVING channels before the skip concat
+            # (common/backbones/unet.py UpConvBlock) — concatenating the
+            # full previous-stage width diverges param shapes from torch
+            # checkpoints and costs ~50% extra decoder FLOPs
+            x = nn.Conv(skips[i].shape[-1], (1, 1), dtype=self.dtype,
+                        name=f'up{i}')(x)
             x = jnp.concatenate([skips[i], x], axis=-1)
             x = _DoubleConv(skips[i].shape[-1], dtype=self.dtype,
                             name=f'dec{i}')(x, train=train)

@@ -93,9 +93,12 @@ def _ohem_ce(logits2, target, train_mask, ohem_ratio):
     pos = (target > 0) & (train_mask > 0)
     neg = (target == 0) & (train_mask > 0)
     n_pos = jnp.sum(pos)
-    n_neg = jnp.minimum(jnp.sum(neg),
-                        jnp.maximum(ohem_ratio * n_pos, 100).astype(
-                            jnp.int32))
+    # reference OHEM (fce_loss.py:152-156): ratio*n_pos negatives when
+    # positives exist; the 100 fallback applies ONLY at n_pos == 0 — a
+    # floor would over-sample background on sparse levels (p5 often has
+    # <34 positive pixels)
+    n_keep = jnp.where(n_pos > 0, ohem_ratio * n_pos, 100)
+    n_neg = jnp.minimum(jnp.sum(neg), n_keep.astype(jnp.int32))
     neg_losses = jnp.sort(jnp.where(neg, ce, -jnp.inf))[::-1]
     keep = (jnp.arange(neg_losses.shape[0]) < n_neg)
     neg_sum = jnp.sum(jnp.where(keep & jnp.isfinite(neg_losses),
@@ -254,9 +257,10 @@ class TextSnakeLoss:
         pos = gt * mask
         neg = (1 - gt) * mask
         n_pos = jnp.sum(pos)
-        n_neg = jnp.minimum(jnp.sum(neg),
-                            jnp.maximum(n_pos * self.ohem_ratio,
-                                        100.0)).astype(jnp.int32)
+        # same reference OHEM rule as _ohem_ce: the 100-negative
+        # fallback only when there are no positives at all
+        n_keep = jnp.where(n_pos > 0, n_pos * self.ohem_ratio, 100.0)
+        n_neg = jnp.minimum(jnp.sum(neg), n_keep).astype(jnp.int32)
         neg_losses = jnp.sort(jnp.where(neg > 0, loss, -jnp.inf))[::-1]
         keep = jnp.arange(neg_losses.shape[0]) < n_neg
         neg_sum = jnp.sum(jnp.where(keep & jnp.isfinite(neg_losses),
@@ -306,13 +310,15 @@ class FCENetModule(nn.Module):
     backbone: nn.Module
     neck: nn.Module
     head: nn.Module
-    num_levels: int = 3
 
     def __call__(self, img, train: bool = False):
         feats = self.backbone(img, train=train)
         feats = feats[-len(self.neck.in_channels):]
+        # the neck emits exactly one level per in_channel; feed them ALL to
+        # the head (a separate num_levels knob could silently drop a level
+        # while the loss keys still assumed the first pred was p3)
         levels = self.neck(feats, train=train)
-        return self.head(levels[-self.num_levels:], train=train)
+        return self.head(levels, train=train)
 
 
 class TextSnakeModule(nn.Module):
