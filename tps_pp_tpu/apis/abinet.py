@@ -64,16 +64,5 @@ class ABINetRecognizer(TextRecognizer):
         self.autoregressive = False
         self._predict_jit = None
 
-    def compute_loss(self, variables, batch, dropout_rng, train: bool = True):
-        out, new_state = self.module.apply(
-            variables, batch['img'], targets=batch.get('padded_targets'),
-            valid_ratio=batch.get('valid_ratio'), train=train,
-            rngs={'dropout': dropout_rng}, mutable=['batch_stats'])
-        targets_dict = {
-            'padded_targets': batch.get('padded_targets'),
-            'target_lengths': batch.get('target_lengths'),
-        }
-        losses = self.loss_obj(out, targets_dict,
-                               valid_ratio=batch.get('valid_ratio'))
-        total = sum(jax.tree.leaves(losses))
-        return total, (losses, new_state)
+    # compute_loss: inherited from TextRecognizer (identical semantics —
+    # the module.apply output shape differs but the loss obj handles it)

@@ -39,6 +39,12 @@ class SAREncoder(nn.Module):
                 x = jnp.concatenate([fwd, bwd], axis=-1)
             else:
                 x = fwd
+            if i == 0 and self.enc_do_rnn:
+                # torch nn.LSTM(num_layers=2, dropout=enc_do_rnn)
+                # applies dropout to the layer-0 output in training
+                # (reference sar_encoder.py:55-65)
+                x = nn.Dropout(self.enc_do_rnn)(
+                    x, deterministic=not train)
         T = x.shape[1]
         if self.mask and valid_ratio is not None:
             # hidden state at the last valid column (sar_encoder.py:99-105)

@@ -24,15 +24,11 @@ class ABINetRecognizerModule(nn.Module):
     tpsnet: Optional[nn.Module] = None
     iter_size: int = 1
 
-    def extract_feat(self, img, train: bool = False):
-        if self.preprocessor is not None:
-            img = self.preprocessor(img, train=train)
-        if self.tpsnet is not None:
-            x, skips = self.backbone.stem_and_head(img, train=train)
-            outs = self.tpsnet(x, skips, train=train)
-            x = self.backbone.tail(outs['output'], train=train)
-            return x
-        return self.backbone(img, train=train)
+    # the preprocessor + mid-backbone TPS++ protocol is shared with
+    # EncodeDecodeRecognizerModule — one implementation, no drift
+    from .encode_decode import EncodeDecodeRecognizerModule as _EDR
+    extract_feat = _EDR.extract_feat
+    del _EDR
 
     def __call__(self, img, targets=None, valid_ratio=None,
                  train: bool = False):

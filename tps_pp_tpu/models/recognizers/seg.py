@@ -41,11 +41,10 @@ class FPNOCR(nn.Module):
             cat = jnp.concatenate([up, laterals[i - 1]], axis=-1)
             s = ConvModule(self.out_channels, 1, use_norm=True,
                            dtype=self.dtype,
-                           name=f'smooth1x1_{n_ins - 1 - i}')(cat,
-                                                              train=train)
+                           name=f'smooth1x1_{i - 1}')(cat, train=train)
             s = ConvModule(self.out_channels, 3, padding=1, use_norm=True,
                            dtype=self.dtype,
-                           name=f'smooth3x3_{n_ins - 1 - i}')(s, train=train)
+                           name=f'smooth3x3_{i - 1}')(s, train=train)
             outs.append(s)
         return outs[-1:] if self.last_stage_only else tuple(outs)
 
@@ -55,6 +54,10 @@ class SegHead(nn.Module):
     in_channels: int = 128
     num_classes: int = 37
     upsample: Optional[float] = None
+    # reference config form: upsample_param=dict(scale_factor=2.0,
+    # mode='nearest') (seg config, seg_head.py) — accepted directly so
+    # reference configs translate mechanically
+    upsample_param: Optional[dict] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -64,11 +67,16 @@ class SegHead(nn.Module):
                                                           train=train)
         x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                     name='pred_conv')(x)
-        if self.upsample:
+        scale = self.upsample
+        mode = 'nearest'
+        if self.upsample_param:
+            scale = float(self.upsample_param.get('scale_factor', 2.0))
+            mode = str(self.upsample_param.get('mode', 'nearest'))
+        if scale:
             N, H, W, C = x.shape
             x = jax.image.resize(
-                x, (N, int(H * self.upsample), int(W * self.upsample), C),
-                'nearest')
+                x, (N, int(H * scale), int(W * scale), C),
+                'bilinear' if mode == 'bilinear' else 'nearest')
         return x
 
 
