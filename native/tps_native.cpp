@@ -149,7 +149,11 @@ void contour_expand(const uint8_t* kernels, int64_t num_kernels, int64_t h,
     for (int64_t i = 0; i < n; ++i)
       if (labels[i] > 0 && labels[i] <= region_num) area[labels[i]]++;
     for (int64_t i = 0; i < n; ++i)
-      if (labels[i] > 0 && area[labels[i]] < min_kernel_area) labels[i] = 0;
+      // same bound as the counting loop: a stale/foreign labels map with
+      // values past region_num must not read past the area vector
+      if (labels[i] > 0 && labels[i] <= region_num &&
+          area[labels[i]] < min_kernel_area)
+        labels[i] = 0;
   }
   const int64_t dx[4] = {-1, 1, 0, 0};
   const int64_t dy[4] = {0, 0, -1, 1};

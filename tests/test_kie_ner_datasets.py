@@ -30,9 +30,14 @@ def test_kie_dataset(tmp_path):
     assert item['labels'][2] == -100
     assert item['edge_labels'][0, 1] == 0 and item['edge_labels'][0, 0] == 1
     assert item['edge_labels'][2, 2] == -1
-    # perfect predictions -> f1 1.0
-    res = ds.evaluate([item['labels']])
+    # perfect predictions -> f1 1.0 (num_classes fixes the macro class
+    # count like the reference's logits width; the toy set has 3 classes)
+    res = ds.evaluate([item['labels']], num_classes=3)
     assert res['macro_f1'] == 1.0
+    # with the full wildreceipt class count, absent classes score 0 in the
+    # macro mean instead of vanishing from it
+    res26 = ds.evaluate([item['labels']])
+    assert res26['macro_f1'] < 1.0
 
 
 def test_ner_dataset(tmp_path):

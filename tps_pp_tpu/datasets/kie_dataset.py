@@ -128,8 +128,11 @@ class KIEDataset:
         return out
 
     def evaluate(self, results: List[np.ndarray], metric='macro_f1',
-                 ignores=(0, 2, 4, 6, 8, 10, 12, 25), **kwargs) -> Dict:
-        """results: per-sample predicted node classes."""
+                 ignores=(0, 2, 4, 6, 8, 10, 12, 25), num_classes=26,
+                 **kwargs) -> Dict:
+        """results: per-sample predicted node classes. ``num_classes``
+        fixes the macro-F1 class count like the reference (absent classes
+        score 0 instead of vanishing from the mean)."""
         from ..evaluation import compute_f1_score
         preds, gts = [], []
         for i, pred in enumerate(results):
@@ -138,7 +141,7 @@ class KIEDataset:
             preds.append(np.asarray(pred)[valid])
             gts.append(gt[valid])
         f1 = compute_f1_score(np.concatenate(preds), np.concatenate(gts),
-                              ignores=ignores)
+                              ignores=ignores, num_classes=num_classes)
         return {'macro_f1': round(float(f1.mean()), 4)}
 
 

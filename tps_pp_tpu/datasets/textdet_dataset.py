@@ -81,7 +81,7 @@ class TextDetDataset:
             gts_ignore.append(polys_ignore)
         if metric == 'hmean-ic13':
             from ..evaluation.hmean_ic13 import eval_hmean_ic13
-            return eval_hmean_ic13(results, gts)
+            return eval_hmean_ic13(results, gts, gt_ignore=gts_ignore)
         from ..evaluation import eval_hmean_iou
         return eval_hmean_iou(results, gts, gt_ignore=gts_ignore)
 

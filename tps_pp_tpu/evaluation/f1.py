@@ -8,12 +8,17 @@ import numpy as np
 
 
 def compute_f1_score(preds: np.ndarray, gts: np.ndarray,
-                     ignores: Sequence[int] = ()) -> np.ndarray:
+                     ignores: Sequence[int] = (),
+                     num_classes: int = None) -> np.ndarray:
     """Macro F1 over node classes, ignoring listed class ids
-    (reference kie_metric.compute_f1_score)."""
+    (reference kie_metric.compute_f1_score). ``num_classes`` fixes the
+    class count like the reference (logits width); inferring it from the
+    max observed id would silently drop absent trailing classes from the
+    macro mean (their reference F1 is 0, not omitted)."""
     preds = np.asarray(preds)
     gts = np.asarray(gts)
-    C = int(max(preds.max(initial=0), gts.max(initial=0))) + 1
+    C = num_classes or int(max(preds.max(initial=0),
+                               gts.max(initial=0))) + 1
     f1s = []
     for c in range(C):
         if c in ignores:
@@ -27,19 +32,19 @@ def compute_f1_score(preds: np.ndarray, gts: np.ndarray,
 
 
 def _extract_entities(labels: List[str]) -> List[Tuple[str, int, int]]:
-    """BIO tags -> (type, start, end) spans."""
+    """BIO tags -> (type, start, end) spans. A type-changing or stray I-X
+    STARTS a new X span (seqeval semantics) — merely closing the previous
+    entity would drop the X span (or shift its start) from the metric."""
     entities = []
     start, etype = None, None
     for i, tag in enumerate(list(labels) + ['O']):
-        if tag.startswith('B-') or tag == 'O' or (
-                tag.startswith('I-') and etype and tag[2:] != etype):
-            if etype is not None:
-                entities.append((etype, start, i - 1))
-                etype = None
-            if tag.startswith('B-'):
-                etype, start = tag[2:], i
-        elif tag.startswith('I-') and etype is None:
-            etype, start = tag[2:], i
+        cur = tag[2:] if (tag.startswith('B-') or
+                          tag.startswith('I-')) else None
+        if etype is not None and (cur != etype or tag.startswith('B-')):
+            entities.append((etype, start, i - 1))
+            etype = None
+        if cur is not None and etype is None:
+            etype, start = cur, i
     return entities
 
 

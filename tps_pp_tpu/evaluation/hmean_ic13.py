@@ -24,13 +24,24 @@ def _rasterize(polys, shape):
 def eval_hmean_ic13(pred_boundaries: Sequence[Sequence],
                     gt_polygons: Sequence[Sequence],
                     precision_thr: float = 0.4, recall_thr: float = 0.8,
-                    center_dist_thr: float = 1.0) -> Dict[str, float]:
+                    gt_ignore=None, ignore_thr: float = 0.5
+                    ) -> Dict[str, float]:
+    """``gt_ignore``: per-image don't-care polygons — predictions mostly
+    covered by one are discarded before precision, like the reference
+    (which filters dets via ignored-gt intersection)."""
     accum_recall = 0.0
     accum_precision = 0.0
     n_gt = n_pred = 0
-    for preds, gts in zip(pred_boundaries, gt_polygons):
+    if gt_ignore is None:
+        gt_ignore = [[] for _ in pred_boundaries]
+    for preds, gts, ignores in zip(pred_boundaries, gt_polygons, gt_ignore):
         preds = [np.asarray(p, np.float32).reshape(-1) for p in preds]
         preds = [p[:-1] if len(p) % 2 else p for p in preds]
+        if len(ignores):
+            from ..models.textdet.postprocess import _ignore_ratio
+            preds = [p for p in preds
+                     if max((_ignore_ratio(p, ig) for ig in ignores),
+                            default=0.0) < ignore_thr]
         n_gt += len(gts)
         n_pred += len(preds)
         if not gts or not preds:
@@ -53,11 +64,17 @@ def eval_hmean_ic13(pred_boundaries: Sequence[Sequence],
 
         gt_hit = np.zeros(len(gm), bool)
         pred_hit = np.zeros(len(pm), bool)
-        # one-to-one
+        # one-to-one: the IC13 protocol requires UNIQUENESS — exactly one
+        # qualifying det in the gt's row AND one qualifying gt in the
+        # det's column (reference one2one_match_ic13, utils.py:262-305;
+        # strict > comparisons). A gt covered by two near-duplicate dets
+        # is NOT a one-to-one match; it falls through to one-to-many.
+        qual = (recall_mat > recall_thr) & (prec_mat > precision_thr)
+        row_cnt = qual.sum(axis=1)
+        col_cnt = qual.sum(axis=0)
         for i in range(len(gm)):
             for j in range(len(pm)):
-                if (recall_mat[i, j] >= recall_thr and
-                        prec_mat[i, j] >= precision_thr and
+                if (qual[i, j] and row_cnt[i] == 1 and col_cnt[j] == 1 and
                         not gt_hit[i] and not pred_hit[j]):
                     gt_hit[i] = pred_hit[j] = True
                     accum_recall += 1.0

@@ -34,8 +34,12 @@ def _levenshtein_py(a: str, b: str) -> int:
 
 def _resolve_levenshtein():
     try:  # first-party C extension (fastest, no deps)
-        from ..native import levenshtein as _lev  # type: ignore
-        return _lev
+        from ..native import get_lib, levenshtein as _lev  # type: ignore
+        # the import itself never fails (the module carries Python
+        # fallbacks); only prefer it when the compiled library actually
+        # loaded — otherwise rapidfuzz beats the O(len^2) pure-Python path
+        if get_lib() is not None:
+            return _lev
     except Exception:
         pass
     try:

@@ -126,14 +126,20 @@ class PackedReader:
                 self._count = int(lib.packed_count(
                     ctypes.c_void_p(self._handle)))
                 return
-        # pure-python fallback
-        with open(self.path, 'rb') as f:
-            magic = f.read(8)
-            assert magic == _PACK_MAGIC, f'not a TPSPACK1 file: {self.path}'
-            (count,) = struct.unpack('<Q', f.read(8))
-            self._count = count
-            self._py_offsets = struct.unpack(
-                f'<{count + 1}Q', f.read(8 * (count + 1)))
+        # pure-python fallback: keep one mmap open (re-opening the file
+        # per record costs an open/seek/read/close round trip on the
+        # dataloader hot path)
+        import mmap as _mmap
+        f = open(self.path, 'rb')
+        magic = f.read(8)
+        assert magic == _PACK_MAGIC, f'not a TPSPACK1 file: {self.path}'
+        (count,) = struct.unpack('<Q', f.read(8))
+        self._count = count
+        self._py_offsets = struct.unpack(
+            f'<{count + 1}Q', f.read(8 * (count + 1)))
+        self._py_mmap = _mmap.mmap(f.fileno(), 0,
+                                   access=_mmap.ACCESS_READ)
+        f.close()   # the mmap keeps its own reference
 
     def __len__(self):
         return self._count
@@ -149,10 +155,8 @@ class PackedReader:
             if ln.value < 0:
                 raise IndexError(index)
             return ctypes.string_at(ptr, ln.value)
-        with open(self.path, 'rb') as f:
-            f.seek(self._py_offsets[index])
-            return f.read(self._py_offsets[index + 1] -
-                          self._py_offsets[index])
+        return self._py_mmap[self._py_offsets[index]:
+                             self._py_offsets[index + 1]]
 
     def __getstate__(self):
         return {'path': self.path}
