@@ -2,5 +2,4 @@
 # dist_params replaced by the jax.distributed/mesh launcher surface)
 checkpoint_config = dict(interval=1)
 log_config = dict(interval=50)
-total_epochs = 12
 input_shape = (32, 128, 3)

@@ -2,7 +2,7 @@
 # recog_datasets/academic_test_high.py:14-19): IIIT5K 3000 / SVT 647 /
 # IC13 **857** / IC15 **1811** / SVTP 645 / CT80 288 — the protocol behind
 # the paper numbers in BASELINE.md.
-data_root = 'data/mixture'
+test_root = 'data/mixture'
 
 _SPECS = [
     ('IIIT5K', 'test_label.txt'),
@@ -16,8 +16,8 @@ _SPECS = [
 def _ds(name, ann):
     return dict(
         type='OCRDataset',
-        img_prefix=f'{data_root}/{name}',
-        ann_file=f'{data_root}/{name}/{ann}',
+        img_prefix=f'{test_root}/{name}',
+        ann_file=f'{test_root}/{name}/{ann}',
         loader=dict(type='HardDiskLoader',
                     parser=dict(type='LineStrParser',
                                 keys=['filename', 'text'],

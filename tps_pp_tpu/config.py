@@ -29,10 +29,9 @@ class ConfigDict(dict):
 
     @staticmethod
     def _wrap(value):
-        if isinstance(value, dict) and not isinstance(value, ConfigDict):
-            return ConfigDict({k: ConfigDict._wrap(v) for k, v in value.items()})
-        if isinstance(value, ConfigDict):
-            return ConfigDict({k: ConfigDict._wrap(v) for k, v in value.items()})
+        if isinstance(value, dict):
+            return ConfigDict({k: ConfigDict._wrap(v)
+                               for k, v in value.items()})
         if isinstance(value, (list, tuple)):
             return type(value)(ConfigDict._wrap(v) for v in value)
         return value
@@ -43,16 +42,28 @@ _DELETE_KEY = "_delete_"
 _INTERP_RE = re.compile(r"\{\{\s*_base_\.([\w.]+)\s*\}\}")
 
 
+def _strip_delete(value):
+    """Remove ``_delete_`` markers from subtrees copied wholesale (the
+    merge only pops them at levels it visits; a leaked literal key would
+    pollute built modules via **kwargs)."""
+    if isinstance(value, dict):
+        return {k: _strip_delete(v) for k, v in value.items()
+                if k != _DELETE_KEY}
+    if isinstance(value, (list, tuple)):
+        return type(value)(_strip_delete(v) for v in value)
+    return value
+
+
 def _merge_dict(base: Dict, child: Dict) -> Dict:
     """Recursive merge; ``_delete_=True`` in child replaces instead of merging."""
     out = copy.deepcopy(base)
     for k, v in child.items():
         if isinstance(v, dict) and v.pop(_DELETE_KEY, False):
-            out[k] = copy.deepcopy(v)
+            out[k] = _strip_delete(copy.deepcopy(v))
         elif isinstance(v, dict) and isinstance(out.get(k), dict):
             out[k] = _merge_dict(out[k], v)
         else:
-            out[k] = copy.deepcopy(v)
+            out[k] = _strip_delete(copy.deepcopy(v))
     return out
 
 
@@ -85,10 +96,11 @@ def _exec_file(path: str) -> Dict[str, Any]:
         src = f.read()
     ns: Dict[str, Any] = {"__file__": os.path.abspath(path)}
     exec(compile(src, path, "exec"), ns)
+    # keep callables (classes/functions are legal config values, like
+    # Registry.build's class type= support); drop only modules/dunders
     return {
         k: v for k, v in ns.items()
-        if not k.startswith("__") and not callable(v)
-        and not isinstance(v, type(os))
+        if not k.startswith("__") and not isinstance(v, type(os))
     }
 
 
@@ -102,6 +114,15 @@ def load_config(path: str) -> ConfigDict:
     base_ns: Dict[str, Any] = {}
     for rel in bases:
         parent = load_config(os.path.join(os.path.dirname(path), rel))
+        dup = set(base_ns) & set(parent)
+        if dup:
+            # mmcv raises here too: silently deep-merging two unrelated
+            # bases builds chimera configs (type from one base, stray
+            # fields from another)
+            raise KeyError(
+                f'duplicate keys {sorted(dup)} among _base_ files of '
+                f'{path} (mmcv: "Duplicate key is not allowed among '
+                'bases")')
         base_ns = _merge_dict(base_ns, parent)
     ns = _interp_value(ns, base_ns)
     merged = _merge_dict(base_ns, ns)

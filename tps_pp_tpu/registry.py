@@ -81,6 +81,10 @@ class Registry:
         if not isinstance(cfg, dict):
             return cfg  # already-built object passes through
         cfg = dict(cfg)
+        if "type" not in cfg:
+            raise KeyError(
+                f"config dict for registry '{self.name}' has no 'type' key: "
+                f"{sorted(cfg)[:8]}")
         type_name = cfg.pop("type")
         if not isinstance(type_name, str):
             # allow passing classes directly in configs

@@ -130,10 +130,9 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray],
 def merge_flat(variables, flat: Dict[str, Dict[str, np.ndarray]],
                strict: bool = True):
     """Merge flat {'params': {path: arr}} into a nested variables pytree."""
-    import jax
-    import jax.numpy as jnp
+    import logging
 
-    out = jax.tree.map(lambda x: x, variables)  # shallow copy of pytrees
+    import jax.numpy as jnp
 
     def set_path(tree, path: str, value):
         parts = path.split('/')
@@ -147,14 +146,15 @@ def merge_flat(variables, flat: Dict[str, Dict[str, np.ndarray]],
                 f'{leaf.shape}')
         node[parts[-1]] = jnp.asarray(value, leaf.dtype)
 
-    out = jax.tree_util.tree_map(np.asarray, out)  # to mutable dicts? no-op
-    # unfreeze-style: convert to plain nested dicts
+    # unfreeze-style: convert to plain nested dicts (leaves untouched —
+    # materializing every parameter to host numpy here would force a
+    # full device->host round trip for weights the merge never touches)
     def to_dict(t):
         if isinstance(t, dict):
             return {k: to_dict(v) for k, v in t.items()}
         return t
 
-    out = to_dict(out)
+    out = to_dict(variables)
     missing = []
     for tree_name, entries in flat.items():
         tree = out.get(tree_name)
@@ -165,10 +165,17 @@ def merge_flat(variables, flat: Dict[str, Dict[str, np.ndarray]],
         for path, arr in entries.items():
             try:
                 set_path(tree, path, arr)
-            except KeyError:
+            except (KeyError, IndexError, TypeError):
+                # TypeError/IndexError: a rule path descending into an
+                # ndarray leaf — same 'path not in model' failure class
                 if strict:
                     raise
                 missing.append(path)
+    if missing:
+        logging.getLogger('tps_pp_tpu').warning(
+            'checkpoint merge skipped %d paths not in the model '
+            '(strict=False): %s%s', len(missing), missing[:5],
+            ' ...' if len(missing) > 5 else '')
     return out
 
 
@@ -474,17 +481,21 @@ def filter_rules_to_state(rules, state_dict):
     """Drop rules whose torch keys are absent (e.g. downsample-less
     blocks)."""
     kept = []
+    import re as _re
     for tp, fp, kind in rules:
-        probe = {'conv': 'weight', 'conv_nobias': 'weight',
-                 'conv1x1_as_dense': 'weight',
-                 'conv1x1_as_dense_nobias': 'weight',
-                 'linear': 'weight', 'linear_nobias': 'weight',
-                 'bn': 'weight', 'ln': 'weight', 'embed': 'weight',
-                 'lstm': 'weight_ih_l0', 'lstm_reverse': 'weight_ih_l0_reverse',
-                 'lstm_l1': 'weight_ih_l1',
-                 'lstm_l1_reverse': 'weight_ih_l1_reverse',
-                 'lstm_cell': 'weight_ih', 'torch_mha': 'in_proj_weight',
-                 'raw': ''}[kind]
+        m = _re.fullmatch(r'lstm(?:_l(\d+))?(_reverse)?', kind)
+        if m:   # any layer index, fwd or reverse
+            probe = (f"weight_ih_l{m.group(1) or 0}"
+                     f"{'_reverse' if m.group(2) else ''}")
+        else:
+            probe = {'conv': 'weight', 'conv_nobias': 'weight',
+                     'conv1x1_as_dense': 'weight',
+                     'conv1x1_as_dense_nobias': 'weight',
+                     'linear': 'weight', 'linear_nobias': 'weight',
+                     'bn': 'weight', 'ln': 'weight', 'embed': 'weight',
+                     'lstm_cell': 'weight_ih',
+                     'torch_mha': 'in_proj_weight',
+                     'raw': ''}[kind]
         key = f'{tp}.{probe}' if probe else tp
         if key in state_dict:
             kept.append((tp, fp, kind))
