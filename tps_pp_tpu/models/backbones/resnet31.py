@@ -51,9 +51,12 @@ class ResNet31OCR(nn.Module):
     layers: Sequence[int] = (1, 2, 5, 3)
     channels: Sequence[int] = (64, 128, 256, 256, 512, 512, 512)
     out_indices: Optional[Sequence[int]] = None
-    stage4_pool: Tuple[int, int] = (2, 1)
+    stage4_pool: Optional[Tuple[int, int]] = (2, 1)
+    # reference config key (resnet31_ocr.py): dict(kernel_size=..,
+    # stride=..) or None for no stage-4 pool; takes precedence so
+    # reference configs translate mechanically
+    stage4_pool_cfg: Optional[dict] = 'unset'
     last_stage_pool: bool = False
-    tps_stage_hook: bool = False  # run rectifier after stage-2 exit
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -90,7 +93,12 @@ class ResNet31OCR(nn.Module):
         x = self.block3(x, train=train)
         x = self.conv3(x, train=train)
         outs.append(x)
-        x = max_pool(x, self.stage4_pool, self.stage4_pool)
+        pool4 = self.stage4_pool
+        if self.stage4_pool_cfg != 'unset':
+            pool4 = (tuple(self.stage4_pool_cfg['kernel_size'])
+                     if self.stage4_pool_cfg else None)
+        if pool4:
+            x = max_pool(x, pool4, pool4)
         x = self.block4(x, train=train)
         x = self.conv4(x, train=train)
         outs.append(x)

@@ -73,8 +73,16 @@ class GNNLayer(nn.Module):
                                name='in_fc')(pair))          # (N, N, D)
         coefs = nn.Dense(1, dtype=self.dtype, name='coef_fc')(cat)
         # softmax over the neighbor axis, masking self + padded nodes
-        # (reference gnn: -eye*1e9 + coefs, softmax dim=1)
-        mask = (1 - jnp.eye(N))[:, :, None] * node_mask[None, :, None]
+        # (reference gnn: -eye*1e9 + coefs, softmax dim=1). For a
+        # single-valid-node graph every neighbor is masked and the softmax
+        # would flatten to uniform weights over PADDING pairs — keep the
+        # self pair alive in that case (the reference's finite -1e9 bias
+        # leaves weight on self when nothing else qualifies).
+        valid_neighbors = ((1 - jnp.eye(N)) *
+                           node_mask[None, :]).sum(1, keepdims=True)  # (N,1)
+        self_ok = (valid_neighbors < 0.5) * jnp.eye(N)
+        mask = ((1 - jnp.eye(N)) * node_mask[None, :] +
+                self_ok)[:, :, None]
         coefs = jnp.where(mask > 0, coefs, -1e9)
         attn = jax.nn.softmax(coefs, axis=1)
         residual = (attn * cat).sum(axis=1)                  # (N, D)

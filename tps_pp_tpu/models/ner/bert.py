@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...registry import ENCODERS, HEADS, LOSSES, MODELS
+from ...registry import ENCODERS, HEADS, LOSSES
 from ..transformer import MultiHeadAttention
 
 
@@ -56,7 +56,10 @@ class BertEncoder(nn.Module):
         for i in range(self.num_hidden_layers):
             attn = MultiHeadAttention(
                 self.num_attention_heads, self.hidden_size, d_k, d_k,
-                self.attention_probs_dropout_prob, qkv_bias=True,
+                self.attention_probs_dropout_prob,
+                # BERT: hidden_dropout on the projected output (the
+                # reference applies attn-prob dropout ONLY to the probs)
+                proj_dropout=self.hidden_dropout_prob, qkv_bias=True,
                 dtype=self.dtype, name=f'layer{i}_attn')
             x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype,
                              name=f'layer{i}_ln1')(
@@ -109,6 +112,10 @@ class MaskedCrossEntropyLoss:
 
     def __call__(self, logits, labels, attention_mask):
         C = logits.shape[-1]
+        if self.num_labels is not None and C != self.num_labels:
+            raise ValueError(
+                f'loss num_labels={self.num_labels} != decoder logits '
+                f'width {C} (check model.decoder.num_labels)')
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         tgt = jnp.clip(labels, 0, C - 1)
         nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]

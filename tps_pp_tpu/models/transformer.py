@@ -66,6 +66,9 @@ class MultiHeadAttention(nn.Module):
     d_k: int = 64
     d_v: int = 64
     dropout: float = 0.1
+    # output-projection dropout rate; None = same as ``dropout`` (the
+    # reference transformer uses one rate, BERT uses hidden vs attn)
+    proj_dropout: Optional[float] = None
     qkv_bias: bool = False
     dtype: Dtype = jnp.float32
 
@@ -81,7 +84,9 @@ class MultiHeadAttention(nn.Module):
         self.fc = nn.Dense(self.d_model, use_bias=self.qkv_bias,
                            dtype=self.dtype)
         self.attn_drop = nn.Dropout(self.dropout)
-        self.proj_drop = nn.Dropout(self.dropout)
+        self.proj_drop = nn.Dropout(
+            self.dropout if self.proj_dropout is None
+            else self.proj_dropout)
 
     def _split(self, x, d):
         N, T, _ = x.shape
