@@ -33,15 +33,33 @@ def _build(reg, cfg):
     return reg.get(cfg.pop('type'))(**cfg)
 
 
+def roi_visual_pool(fm, boxes):
+    """(H, W, C) feature map + (N, 4) boxes -> (N, C) pooled visual
+    features (reference extractor + maxpool, sdmgr.py:96-100). The ONE
+    definition shared by training and inference — a drifting copy would
+    silently diverge the visual modality between the two."""
+    import jax.numpy as jnp
+
+    from ..models.textdet import roi_align_jax
+    return jnp.max(roi_align_jax(fm, boxes, (7, 7)), axis=(1, 2))
+
+
 def _epoch_loop(n, batch_size, epochs, seed, make_batch, run_step, save):
+    # a dataset smaller than batch_size must still train (previously zero
+    # steps ran, every epoch logged loss=nan and checkpoints held the
+    # random init); short tails pad by repeating indices
     rng = np.random.default_rng(seed)
     history = []
     for epoch in range(epochs):
         order = rng.permutation(n)
         t0 = time.time()
         loss = float('nan')
-        for it in range(0, n - batch_size + 1, batch_size):
-            loss = run_step(make_batch(order[it:it + batch_size]), epoch, it)
+        for it in range(0, n, batch_size):
+            idx = order[it:it + batch_size]
+            if len(idx) < batch_size:
+                reps = -(-batch_size // max(n, 1))   # n may be < batch_size
+                idx = np.concatenate([idx] + [order] * reps)[:batch_size]
+            loss = run_step(make_batch(idx), epoch, it)
         history.append(float(loss))
         logger.info('epoch %d done in %.1fs loss %.4f', epoch,
                     time.time() - t0, history[-1])
@@ -79,12 +97,7 @@ def train_kie(cfg: ConfigDict, train_ds, work_dir: Optional[str] = None,
         unet = _build(BACKBONES, model_cfg.get('backbone') or
                       {'type': 'UNet', 'base_channels': 16})
 
-    def roi_visual(fm, bx):
-        """(H, W, C) feature map + (N, 4) boxes -> (N, C) pooled visual
-        features (reference extractor + maxpool, sdmgr.py:96-100)."""
-        from ..models.textdet import roi_align_jax
-        rois = roi_align_jax(fm, bx, (7, 7))        # (N, 7, 7, C)
-        return jnp.max(rois, axis=(1, 2))
+    roi_visual = roi_visual_pool
 
     rng0 = jax.random.PRNGKey(seed)
     if visual:
@@ -262,8 +275,7 @@ def build_sdmgr_apply(cfg: ConfigDict, checkpoint: Optional[str],
                       {'type': 'UNet', 'base_channels': 16})
         unet_vars = unet.init(rng0, jnp.asarray(sample['img'])[None])
         fm0 = unet.apply(unet_vars, jnp.asarray(sample['img'])[None])
-        vis0 = jnp.max(roi_align_jax(fm0[0], jnp.asarray(sample['boxes']),
-                                     (7, 7)), axis=(1, 2))
+        vis0 = roi_visual_pool(fm0[0], jnp.asarray(sample['boxes']))
         head_vars = head.init(rng0, jnp.asarray(sample['relations']),
                               jnp.asarray(sample['texts']), vis0)
         variables = {'params': {'head': head_vars['params'],
@@ -275,7 +287,7 @@ def build_sdmgr_apply(cfg: ConfigDict, checkpoint: Optional[str],
         def _apply(v, r, t, img, boxes):
             bs = {k: vv for k, vv in v.items() if k != 'params'}
             fm = unet.apply({'params': v['params']['unet'], **bs}, img)
-            vis = jnp.max(roi_align_jax(fm[0], boxes, (7, 7)), axis=(1, 2))
+            vis = roi_visual_pool(fm[0], boxes)
             return head.apply({'params': v['params']['head']}, r, t, vis)
 
         def apply(v, item):

@@ -43,9 +43,9 @@ class OnlineCropOCR:
                 -self.max_jitter_ratio_y, self.max_jitter_ratio_y,
                 len(pts)) * h
         img = results['img']
-        x0 = max(int(pts[:, 0].min()), 0)
+        x0 = min(max(int(pts[:, 0].min()), 0), img.shape[1] - 1)
         x1 = min(int(math.ceil(pts[:, 0].max())), img.shape[1])
-        y0 = max(int(pts[:, 1].min()), 0)
+        y0 = min(max(int(pts[:, 1].min()), 0), img.shape[0] - 1)
         y1 = min(int(math.ceil(pts[:, 1].max())), img.shape[0])
         crop = img[y0:max(y1, y0 + 1), x0:max(x1, x0 + 1)]
         results['img'] = crop
@@ -58,9 +58,12 @@ class FancyPCA:
     """AlexNet-style PCA color jitter (reference ocr_transforms.py
     FancyPCA; eigvecs/eigvals of ImageNet RGB)."""
 
+    # columns = eigenvectors (RGB): column 0 is the luminance direction;
+    # transposing would turn the dominant-eigenvalue jitter into a
+    # chroma shift
     _EIG_VEC = np.array([[-0.5675, 0.7192, 0.4009],
                          [-0.5808, -0.0045, -0.8140],
-                         [-0.5836, -0.6948, 0.4203]], np.float32).T
+                         [-0.5836, -0.6948, 0.4203]], np.float32)
     _EIG_VAL = np.array([0.2175, 0.0188, 0.0045], np.float32)
 
     def __init__(self, alpha_std=0.1):
@@ -71,7 +74,7 @@ class FancyPCA:
         if img.shape[-1] != 3:
             return results
         alpha = np.random.normal(0, self.alpha_std, 3).astype(np.float32)
-        noise = self._EIG_VEC @ (alpha * self._EIG_VAL)
+        noise = (self._EIG_VEC @ (alpha * self._EIG_VAL))[::-1]  # RGB->BGR
         scale = 255.0 if results['img'].dtype == np.uint8 else 1.0
         img = img + noise[None, None, :] * scale
         results['img'] = np.clip(img, 0, scale if scale > 1 else None

@@ -82,7 +82,9 @@ class OCRSegTargets:
         """One (pad_h, pad_w) kernel; the padded right strip gets pad_val
         (reference ocr_seg_targets.py:110-153)."""
         char_kernel = np.zeros(pad_shape, dtype=np.int32)
-        char_kernel[:resize_shape[0], resize_shape[1]:] = self.pad_val
+        # padding strips (right AND bottom) are pad_val, not background
+        char_kernel[:, resize_shape[1]:] = self.pad_val
+        char_kernel[resize_shape[0]:, :] = self.pad_val
         for box, ind in zip(char_boxes, char_inds):
             if self.box_type == 'char_rects':
                 poly = shrink_char_rect(box, shrink_ratio)
@@ -95,8 +97,13 @@ class OCRSegTargets:
     def __call__(self, results: Dict) -> Dict:
         resize_shape = tuple(results['resize_shape'][:2])
         pad_shape = tuple(results['pad_shape'][:2])
-        h_scale = resize_shape[0] / results['img_shape'][0]
-        w_scale = resize_shape[1] / results['img_shape'][1]
+        # char boxes are annotated in ORIGINAL-image coords; this repo's
+        # ResizeOCR overwrites results['img_shape'] with the post-resize
+        # padded shape, so the pre-resize shape must come from ori_shape
+        src_shape = tuple(results.get('ori_shape',
+                                      results['img_shape']))[:2]
+        h_scale = resize_shape[0] / src_shape[0]
+        w_scale = resize_shape[1] / src_shape[1]
 
         char_boxes: List[List[float]] = []
         char_inds: List[int] = []
