@@ -126,22 +126,22 @@ def _kernel_twostage(cp_ref, score_ref, fg_ref, img_ref, inv_ref, phat_ref,
         tmp = jnp.dot(wx.astype(srcp_ref.dtype), srcp_ref[0],
                       preferred_element_type=jnp.float32)     # (TILE, H*C)
         # stage 2: out[p, c] = sum_h wy[p, h] * tmp[p, h*C + c].
-        # Pair h's so every tmp slice is 2C lanes (= 128 when C == 64,
-        # tile-aligned); the paired accumulator folds back to C lanes
-        # with a constant [I; I] matmul.
-        assert H % 2 == 0, H
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TILE, 2 * C), 1)
-        mask_l = (lane < C).astype(jnp.float32)
-        mask_r = 1.0 - mask_l
-        acc = jnp.zeros((TILE, 2 * C), jnp.float32)
-        for k in range(H // 2):
-            wexp = (wy[:, 2 * k:2 * k + 1] * mask_l +
-                    wy[:, 2 * k + 1:2 * k + 2] * mask_r)
-            acc = acc + tmp[:, k * 2 * C:(k + 1) * 2 * C] * wexp
-        rr = jax.lax.broadcasted_iota(jnp.int32, (2 * C, C), 0)
-        cc = jax.lax.broadcasted_iota(jnp.int32, (2 * C, C), 1)
-        fold = (rr % C == cc).astype(jnp.float32)             # [I; I]
-        out = jnp.dot(acc, fold, preferred_element_type=jnp.float32)
+        # Two constant iota-built matrices turn this into MXU work:
+        #   wyexp = wy @ E,   E[h, h*C + c] = 1      (lane-expand wy)
+        #   out   = (wyexp * tmp) @ fold, fold[h*C + c, c] = 1   ([I;I;..])
+        # One VPU multiply over (TILE, H*C) in between — an earlier
+        # paired-h unrolled loop here blew the 16M scoped-VMEM stack at
+        # compile (21.6M); this form stays ~7M and has no even-H
+        # restriction.
+        je = jax.lax.broadcasted_iota(jnp.int32, (H, H * C), 1)
+        he = jax.lax.broadcasted_iota(jnp.int32, (H, H * C), 0)
+        E = (je // C == he).astype(jnp.float32)               # (H, H*C)
+        wyexp = jnp.dot(wy, E, preferred_element_type=jnp.float32)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (H * C, C), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (H * C, C), 1)
+        fold = (rr % C == cc).astype(jnp.float32)             # [I; I; ..]
+        out = jnp.dot(wyexp * tmp, fold,
+                      preferred_element_type=jnp.float32)
         out_ref[0] = out.astype(out_ref.dtype)
 
     sample(fg_ref, Hg, Wg, rect_ref)
@@ -166,11 +166,6 @@ def tps_grid_sample_fused(feat_grid, batch_img, control_point, pc_score,
     import os
     if variant is None:
         variant = os.environ.get('TPS_SAMPLER_VARIANT', 'dense')
-    if variant == 'twostage' and (feat_grid.shape[1] % 2 or
-                                  batch_img.shape[1] % 2):
-        # the paired-h reduction needs even feature heights; fall back
-        # rather than crash deep inside kernel tracing
-        variant = 'dense'
     # the tile knob is resolved here too, for the same cache-key reason
     tile = int(os.environ.get('TPS_SAMPLER_TILE', tile))
     return _tps_grid_sample_fused_impl(
@@ -245,9 +240,15 @@ def _tps_grid_sample_fused_impl(feat_grid: jax.Array, batch_img: jax.Array,
         kernel = functools.partial(
             lambda _k, *refs: _k(*refs, None), kernel)
     grid = (N, n // tile)
+    # twostage's (TILE, H*C) f32 stage-1/2 intermediates brush the default
+    # 16M scoped-VMEM stack at TILE=256 (16.25M measured); raise the limit —
+    # total VMEM is 128M and this kernel holds no other large buffers
+    params = (pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20)
+              if variant == 'twostage' and not interpret else None)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=params,
         in_specs=[
             pl.BlockSpec((1, Fd, 2), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
