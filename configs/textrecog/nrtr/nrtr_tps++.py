@@ -20,10 +20,13 @@ model = dict(
     tpsnet=dict(type='TPS_PP', img_size=(16, 64),
                 rectified_img_size=(16, 64), num_img_channel=64,
                 point_size=(2, 16), p_stride=2),
+    # d_inner=256: the reference flagship config leaves NRTREncoder /
+    # NRTRDecoder at their defaults (nrtr_encoder.py:37, nrtr_decoder.py:49
+    # — d_inner=256), so the released checkpoint's FFN weights are 512x256.
     encoder=dict(type='NRTREncoder', n_layers=6, n_head=8, d_k=64, d_v=64,
-                 d_model=512, d_inner=1024, dropout=0.1),
+                 d_model=512, d_inner=256, dropout=0.1),
     decoder=dict(type='NRTRDecoder', n_layers=6, d_embedding=512, n_head=8,
-                 d_model=512, d_inner=1024, d_k=64, d_v=64),
+                 d_model=512, d_inner=256, d_k=64, d_v=64),
     loss=dict(type='TFLoss'),
     label_convertor=label_convertor,
     max_seq_len=40)

@@ -42,8 +42,12 @@ def nrtr_tps_pp_cfg(dtype: str = 'float32', tiny: bool = False,
         tpsnet=dict(type='TPS_PP', img_size=(16, 64),
                     rectified_img_size=(16, 64), num_img_channel=64,
                     point_size=(2, 16), p_stride=2, sample_mode='pallas'),
+        # d_inner=256: the reference flagship config leaves NRTREncoder /
+        # NRTRDecoder at their defaults (nrtr_encoder.py:37,
+        # nrtr_decoder.py:49), so the released checkpoint's FFN weights
+        # are 512x256 — this config must match to load them.
         encoder=dict(type='NRTREncoder', n_layers=6, n_head=8, d_k=64,
-                     d_v=64, d_model=512, d_inner=1024, dropout=0.1),
+                     d_v=64, d_model=512, d_inner=256, dropout=0.1),
         # use_fused_step=False: the fused pallas decode step
         # (ops/pallas_decode.py) compiles and matches numerically, but
         # pallas round-trips the whole KV-cache block HBM->VMEM->HBM per
@@ -51,7 +55,7 @@ def nrtr_tps_pp_cfg(dtype: str = 'float32', tiny: bool = False,
         # costs more than the saved op launches — 2.3k vs 4.0k img/s
         # measured. Kept for the op-bound regime (small batch serving).
         decoder=dict(type='NRTRDecoder', n_layers=6, d_embedding=512,
-                     n_head=8, d_model=512, d_inner=1024, d_k=64, d_v=64,
+                     n_head=8, d_model=512, d_inner=256, d_k=64, d_v=64,
                      n_position=200, use_fused_step=False,
                      kv_dtype=kv_dtype),
         loss=dict(type='TFLoss'),

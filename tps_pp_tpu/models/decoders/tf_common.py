@@ -38,8 +38,8 @@ class TFCommonDecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, q, k, v, deterministic: bool = True):
         attn = MultiHeadAttention(self.n_head, self.d_model, self.d_k,
-                                  self.d_v, self.dropout, False, self.dtype,
-                                  name='attn')
+                                  self.d_v, self.dropout, qkv_bias=False,
+                                  dtype=self.dtype, name='attn')
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm1')(
             q + attn(q, k, v, deterministic=deterministic))
         mlp = PositionwiseFeedForward(self.d_model, self.d_inner,

@@ -199,8 +199,9 @@ class TFEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
         attn = MultiHeadAttention(self.n_head, self.d_model, self.d_k,
-                                  self.d_v, self.dropout, self.qkv_bias,
-                                  self.dtype, name='attn')
+                                  self.d_v, self.dropout,
+                                  qkv_bias=self.qkv_bias,
+                                  dtype=self.dtype, name='attn')
         mlp = PositionwiseFeedForward(self.d_model, self.d_inner,
                                       self.dropout, self.act, self.dtype,
                                       name='mlp')
@@ -237,10 +238,12 @@ class TFDecoderLayer(nn.Module):
         self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.self_attn = MultiHeadAttention(self.n_head, self.d_model,
                                             self.d_k, self.d_v, self.dropout,
-                                            self.qkv_bias, self.dtype)
+                                            qkv_bias=self.qkv_bias,
+                                            dtype=self.dtype)
         self.enc_attn = MultiHeadAttention(self.n_head, self.d_model,
                                            self.d_k, self.d_v, self.dropout,
-                                           self.qkv_bias, self.dtype)
+                                           qkv_bias=self.qkv_bias,
+                                           dtype=self.dtype)
         self.mlp = PositionwiseFeedForward(self.d_model, self.d_inner,
                                            self.dropout, self.act, self.dtype)
 
