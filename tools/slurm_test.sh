@@ -1,6 +1,9 @@
 #!/usr/bin/env bash
 # Slurm launcher for multi-host TPU evaluation (analog of the reference
 # tools/slurm_test.sh). One process per host — see slurm_train.sh.
+# tools/test.py initializes jax.distributed when SLURM_NTASKS>1, shards the
+# dataset by jax.process_index(), all-gathers results over ICI (the
+# collect_results_gpu analog), and writes --out from rank 0 only.
 #
 # Usage: [NODES=n] [SRUN_ARGS=...] tools/slurm_test.sh PARTITION JOB CONFIG CHECKPOINT [py args...]
 set -x

@@ -1,10 +1,11 @@
 #!/usr/bin/env bash
 # Slurm launcher for multi-host TPU training (analog of the reference
 # tools/slurm_train.sh, which srun's one torch.distributed rank per GPU).
-# JAX SPMD runs ONE process per host; on TPU pod slices the runtime
-# discovers coordination itself, so `jax.distributed.initialize()` inside
-# tools/train.py needs no arguments. Off-pod (CPU/GPU clusters) set
-# JAX_COORDINATOR_ADDRESS on the first node.
+# JAX SPMD runs ONE process per host. tools/train.py calls
+# `jax.distributed.initialize()` whenever Slurm launched >1 task
+# (SLURM_NTASKS>1 — jax derives the coordinator from SLURM_STEP_NODELIST)
+# or when JAX_COORDINATOR_ADDRESS is exported to every task; no manual env
+# setup is needed under this launcher.
 #
 # Usage: [NODES=n] [SRUN_ARGS=...] tools/slurm_train.sh PARTITION JOB CONFIG WORK_DIR [py args...]
 set -x

@@ -6,8 +6,9 @@
 
 Multi-host: run one process per host with the same command;
 ``jax.distributed.initialize()`` is called when JAX_COORDINATOR_ADDRESS is
-set (the launcher surface replacing dist_train.sh/slurm_train.sh — SPMD
-needs no per-rank wrappers).
+set, or when Slurm launched more than one task (jax auto-detects Slurm
+coordination from the SLURM_* env vars, so slurm_train.sh needs no manual
+env setup). SPMD needs no per-rank wrappers.
 """
 import argparse
 import ast
@@ -37,7 +38,10 @@ def main():
     from tps_pp_tpu.utils.platform import apply_jax_platform_env
     apply_jax_platform_env()   # honor JAX_PLATFORMS despite the axon plugin
 
-    if os.environ.get('JAX_COORDINATOR_ADDRESS'):
+    if (os.environ.get('JAX_COORDINATOR_ADDRESS')
+            or int(os.environ.get('SLURM_NTASKS', '1') or '1') > 1):
+        # jax auto-detects Slurm coordination (coordinator = first node of
+        # SLURM_STEP_NODELIST) when no explicit address is exported
         import jax
         jax.distributed.initialize()
 
