@@ -103,6 +103,43 @@ def test_lr_schedule():
     assert float(sched(1050)) == pytest.approx(1e-6, rel=1e-3)
 
 
+def test_lr_schedule_poly():
+    # mmcv PolyLrUpdaterHook (reference schedule_sgd_1200e.py): lr =
+    # (base - min) * (1 - t/T)^power + min
+    sched = make_lr_schedule(0.007, policy='poly', power=0.9, min_lr=1e-7,
+                             total_steps=1000)
+    assert float(sched(0)) == pytest.approx(0.007, rel=1e-5)
+    expect = (0.007 - 1e-7) * (1 - 0.5) ** 0.9 + 1e-7
+    assert float(sched(500)) == pytest.approx(expect, rel=1e-5)
+    assert float(sched(1000)) == pytest.approx(1e-7, abs=1e-10)
+
+
+def test_optimizer_mmcv_warmup_and_paramwise():
+    import numpy as np
+
+    # mmcv warmup keys (schedule_sgd_160e.py)
+    tx, sched = build_optimizer(dict(
+        type='SGD', lr=0.08, momentum=0.9,
+        lr_config=dict(policy='step', warmup='linear', warmup_iters=500,
+                       warmup_ratio=0.001, step=[80, 128])),
+        steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(0.08 * 0.001, rel=1e-3)
+    assert float(sched(500)) == pytest.approx(0.08, rel=1e-3)
+
+    # paramwise custom_keys lr_mult (schedule_adam_custom_key_step_10e.py:
+    # freeze backbone/encoder with lr_mult=0.0)
+    tx, _ = build_optimizer(dict(
+        type='Adam', lr=1e-3,
+        paramwise_cfg=dict(custom_keys={'backbone': dict(lr_mult=0.0)})))
+    params = {'backbone': {'conv': {'kernel': jnp.ones((3, 3))}},
+              'decoder': {'fc': {'kernel': jnp.ones((3, 3))}}}
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    assert np.all(np.asarray(updates['backbone']['conv']['kernel']) == 0.0)
+    assert np.any(np.asarray(updates['decoder']['fc']['kernel']) != 0.0)
+
+
 def test_predict_under_mesh_shard_map():
     """Data-parallel serving: predict(mesh=...) shard_maps the forward over
     the 'data' axis (the fused Pallas paths cannot be auto-partitioned) and

@@ -58,7 +58,13 @@ def train_recognizer(rec, train_dataset, cfg: Dict,
     steps_per_epoch = len(loader)
 
     opt_cfg = dict(cfg.get('optimizer', dict(type='Adam', lr=1e-4)))
-    opt_cfg['lr_config'] = cfg.get('lr_config', {})
+    opt_cfg['lr_config'] = dict(cfg.get('lr_config', {}) or {})
+    # poly decay spans the whole run; mmcv's optimizer_config carries
+    # grad_clip separately (reference schedules + default_runtime)
+    opt_cfg['lr_config'].setdefault('total_epochs', total_epochs)
+    oc = cfg.get('optimizer_config') or {}
+    if oc.get('grad_clip') and 'grad_clip' not in opt_cfg:
+        opt_cfg['grad_clip'] = dict(oc['grad_clip'])
     tx, schedule = build_optimizer(opt_cfg, steps_per_epoch=steps_per_epoch)
 
     variables = rec.init_variables(jax.random.PRNGKey(seed),

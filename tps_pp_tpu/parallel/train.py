@@ -43,11 +43,19 @@ class TrainState(struct.PyTreeNode):
         return v
 
 
-def make_lr_schedule(base_lr: float, *, warmup_steps: int = 0,
+def make_lr_schedule(base_lr: float, *, policy: str = 'step',
+                     warmup_steps: int = 0,
                      warmup_ratio: float = 1e-3, step_epochs=(),
-                     steps_per_epoch: int = 1, gamma: float = 0.1):
-    """Linear warmup + step decay — the TPS++ recipe
-    (reference configs/_base_/schedules/schedule_adam_step_12e.py)."""
+                     steps_per_epoch: int = 1, gamma: float = 0.1,
+                     power: float = 0.9, min_lr: float = 0.0,
+                     total_steps: int = 0):
+    """Linear warmup + decay policy.
+
+    ``policy='step'`` is the TPS++ recipe (reference
+    configs/_base_/schedules/schedule_adam_step_12e.py); ``policy='poly'``
+    is the det-family recipe (schedule_sgd_1200e.py: mmcv PolyLrUpdaterHook,
+    lr = (base-min)*(1-t/T)^power + min), ``policy='fixed'`` holds base_lr.
+    """
     boundaries = {int(e * steps_per_epoch): gamma for e in step_epochs}
 
     def schedule(count):
@@ -55,6 +63,9 @@ def make_lr_schedule(base_lr: float, *, warmup_steps: int = 0,
         if warmup_steps > 0:
             frac = jnp.minimum(count / warmup_steps, 1.0)
             lr = base_lr * (warmup_ratio + (1 - warmup_ratio) * frac)
+        if policy == 'poly' and total_steps > 0:
+            frac = jnp.clip(count / total_steps, 0.0, 1.0)
+            return (lr - min_lr) * (1.0 - frac) ** power + min_lr
         factor = jnp.ones(())
         for b in sorted(boundaries):
             factor = jnp.where(count >= b, factor * boundaries[b], factor)
@@ -63,16 +74,47 @@ def make_lr_schedule(base_lr: float, *, warmup_steps: int = 0,
     return schedule
 
 
+def _paramwise_lr_mults(custom_keys: Dict[str, Dict], params):
+    """mmcv paramwise_cfg.custom_keys analog: per-leaf lr multipliers.
+
+    mmcv matches a custom key as a substring of the torch parameter name
+    (mmcv/runner/optimizer/default_constructor.py); here the '/'-joined
+    flax path plays that role. Sorted longest-key-first so the most
+    specific match wins, like mmcv's sorted(custom_keys)[::-1].
+    """
+    import flax
+    keys = sorted(custom_keys, key=len, reverse=True)
+    flat = flax.traverse_util.flatten_dict(params)
+    mults = {}
+    for path in flat:
+        name = '/'.join(str(p) for p in path)
+        mult = 1.0
+        for k in keys:
+            if k in name:
+                mult = float(custom_keys[k].get('lr_mult', 1.0))
+                break
+        mults[path] = mult
+    return flax.traverse_util.unflatten_dict(mults)
+
+
 def build_optimizer(cfg: Dict, steps_per_epoch: int = 1):
     """optax chain from a reference-style optimizer/schedule config."""
     cfg = dict(cfg or {})
     opt_type = cfg.pop('type', 'Adam')
     base_lr = cfg.pop('lr', 1e-4)
     grad_clip = cfg.pop('grad_clip', None)
-    sched_cfg = cfg.pop('lr_config', None) or {}
+    sched_cfg = dict(cfg.pop('lr_config', None) or {})
+    paramwise = cfg.pop('paramwise_cfg', None)
     # translate torch/mmcv optimizer keys to optax's
     if 'betas' in cfg:
         cfg['b1'], cfg['b2'] = cfg.pop('betas')
+    # mmcv warmup keys (schedule_sgd_160e.py: warmup='linear',
+    # warmup_iters=500[, warmup_by_epoch=True]) -> warmup_steps
+    if sched_cfg.get('warmup') and 'warmup_iters' in sched_cfg:
+        it = int(sched_cfg['warmup_iters'])
+        sched_cfg.setdefault(
+            'warmup_steps',
+            it * steps_per_epoch if sched_cfg.get('warmup_by_epoch') else it)
     # torch's coupled weight_decay (L2 added to the gradient BEFORE the
     # moment updates) == chain(add_decayed_weights, opt); optax.adamw's own
     # decoupled decay keeps its kwarg
@@ -81,12 +123,16 @@ def build_optimizer(cfg: Dict, steps_per_epoch: int = 1):
         l2 = cfg.pop('weight_decay', None)
     schedule = make_lr_schedule(
         base_lr,
+        policy=sched_cfg.get('policy', 'step'),
         warmup_steps=int(sched_cfg.get('warmup_epochs', 0) * steps_per_epoch)
         or sched_cfg.get('warmup_steps', 0),
         warmup_ratio=sched_cfg.get('warmup_ratio', 1e-3),
         step_epochs=sched_cfg.get('step', ()),
         steps_per_epoch=steps_per_epoch,
-        gamma=sched_cfg.get('gamma', 0.1))
+        gamma=sched_cfg.get('gamma', 0.1),
+        power=sched_cfg.get('power', 0.9),
+        min_lr=sched_cfg.get('min_lr', 0.0),
+        total_steps=int(sched_cfg.get('total_epochs', 0) * steps_per_epoch))
     if opt_type.lower() == 'adam':
         tx = optax.adam(schedule, **cfg)
     elif opt_type.lower() == 'adamw':
@@ -102,6 +148,17 @@ def build_optimizer(cfg: Dict, steps_per_epoch: int = 1):
     if grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(
             grad_clip.get('max_norm', 1.0)), tx)
+    if paramwise and paramwise.get('custom_keys'):
+        # scale each leaf's UPDATE by its lr_mult — equivalent to mmcv's
+        # per-group lr = base_lr * lr_mult for these scale-free updates
+        # (schedule_adam_custom_key_step_10e.py freezes backbone/encoder
+        # with lr_mult=0.0)
+        custom = {k: dict(v) for k, v in paramwise['custom_keys'].items()}
+        tx = optax.chain(tx, optax.GradientTransformation(
+            lambda params: optax.EmptyState(),
+            lambda updates, state, params=None: (jax.tree.map(
+                lambda u, m: u * m, updates,
+                _paramwise_lr_mults(custom, updates)), state)))
     return tx, schedule
 
 
