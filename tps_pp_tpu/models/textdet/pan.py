@@ -41,10 +41,15 @@ def _resize(x, h, w, method='nearest'):
 
 
 class Bottleneck(nn.Module):
-    """torchvision-style bottleneck (1x1 -> 3x3(stride) -> 1x1 x4)."""
+    """torchvision-style bottleneck (1x1 -> 3x3(stride) -> 1x1 x4).
+
+    ``dcn=True`` swaps the 3x3 for a modulated deformable conv (DCNv2) —
+    the reference's dcn=dict(type='DCNv2') stages in
+    dbnet_r50dcnv2_fpnc.py / fcenet_r50dcnv2_fpn.py."""
     planes: int
     stride: int = 1
     use_downsample: bool = False
+    dcn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -56,9 +61,15 @@ class Bottleneck(nn.Module):
         out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
                       name='conv1')(x)
         out = nn.relu(norm('bn1')(out))
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=((1, 1), (1, 1)), use_bias=False,
-                      dtype=self.dtype, name='conv2')(out)
+        if self.dcn:
+            from ...ops.deform_conv import ModulatedDeformConv
+            out = ModulatedDeformConv(self.planes, stride=self.stride,
+                                      dtype=self.dtype, name='conv2')(out)
+        else:
+            out = nn.Conv(self.planes, (3, 3),
+                          strides=(self.stride, self.stride),
+                          padding=((1, 1), (1, 1)), use_bias=False,
+                          dtype=self.dtype, name='conv2')(out)
         out = nn.relu(norm('bn2')(out))
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
                       dtype=self.dtype, name='conv3')(out)
@@ -79,6 +90,11 @@ class ResNetDet50(nn.Module):
     psenet_r50_fpnf.py: mmdet.ResNet depth=50)."""
     stage_blocks: Sequence[int] = (3, 4, 6, 3)
     base_channels: int = 64
+    # reference dcn stages (stage_with_dcn=(False, True, True, True) in
+    # dbnet_r50dcnv2_fpnc.py); the `dcn` cfg dict itself is accepted for
+    # config compatibility but only DCNv2 semantics are implemented
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
+    dcn: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -94,11 +110,12 @@ class ResNetDet50(nn.Module):
         ch = self.base_channels
         for si, blocks in enumerate(self.stage_blocks):
             stride = 1 if si == 0 else 2
+            dcn = bool(self.stage_with_dcn[si]) if self.dcn else False
             for b in range(blocks):
                 s = stride if b == 0 else 1
                 needs_ds = s != 1 or x.shape[-1] != ch * 4
                 x = Bottleneck(ch, stride=s, use_downsample=needs_ds,
-                               dtype=self.dtype,
+                               dcn=dcn, dtype=self.dtype,
                                name=f'layer{si + 1}_block{b}')(x, train=train)
             outs.append(x)
             ch *= 2
