@@ -1,20 +1,20 @@
-# reference configs/textdet/drrg/drrg_r50_fpn_unet_1200e_ctw1500.py
+# reference configs/textdet/maskrcnn/mask_rcnn_r50_fpn_160e_ctw1500.py
 _base_ = [
-    '../../_base_/schedules/schedule_sgd_1200e.py',
-    '../../_base_/default_runtime.py',
-    '../../_base_/det_models/drrg_r50_fpn_unet.py',
+    '../../_base_/runtime_10e.py',
+    '../../_base_/det_models/ocr_mask_rcnn_r50_fpn_ohem_poly.py',
+    '../../_base_/schedules/schedule_sgd_160e.py',
     '../../_base_/det_datasets/ctw1500.py',
-    '../../_base_/det_pipelines/drrg_pipeline.py',
+    '../../_base_/det_pipelines/maskrcnn_pipeline.py',
 ]
 
 train_list = {{_base_.train_list}}
 test_list = {{_base_.test_list}}
 
 train_pipeline = {{_base_.train_pipeline}}
-test_pipeline = {{_base_.test_pipeline}}
+test_pipeline_ctw1500 = {{_base_.test_pipeline_ctw1500}}
 
 data = dict(
-    samples_per_gpu=4,
+    samples_per_gpu=8,
     workers_per_gpu=4,
     val_dataloader=dict(samples_per_gpu=1),
     test_dataloader=dict(samples_per_gpu=1),
@@ -25,10 +25,10 @@ data = dict(
     val=dict(
         type='UniformConcatDataset',
         datasets=test_list,
-        pipeline=test_pipeline),
+        pipeline=test_pipeline_ctw1500),
     test=dict(
         type='UniformConcatDataset',
         datasets=test_list,
-        pipeline=test_pipeline))
+        pipeline=test_pipeline_ctw1500))
 
-evaluation = dict(interval=20, metric='hmean-iou')
+evaluation = dict(interval=10, metric='hmean-iou')

@@ -1,27 +1,27 @@
-# reference configs/textdet/fcenet/fcenet_r50_fpn_1500e_icdar2015.py
+# reference configs/textdet/maskrcnn/mask_rcnn_r50_fpn_160e_icdar2017.py
 _base_ = [
     '../../_base_/runtime_10e.py',
-    '../../_base_/schedules/schedule_sgd_1500e.py',
-    '../../_base_/det_models/fcenet_r50_fpn.py',
-    '../../_base_/det_datasets/icdar2015.py',
-    '../../_base_/det_pipelines/fcenet_pipeline.py',
+    '../../_base_/schedules/schedule_sgd_160e.py',
+    '../../_base_/det_models/ocr_mask_rcnn_r50_fpn_ohem.py',
+    '../../_base_/det_datasets/icdar2017.py',
+    '../../_base_/det_pipelines/maskrcnn_pipeline.py',
 ]
 
 train_list = {{_base_.train_list}}
 test_list = {{_base_.test_list}}
 
-train_pipeline_icdar2015 = {{_base_.train_pipeline_icdar2015}}
+train_pipeline = {{_base_.train_pipeline}}
 test_pipeline_icdar2015 = {{_base_.test_pipeline_icdar2015}}
 
 data = dict(
     samples_per_gpu=8,
-    workers_per_gpu=2,
+    workers_per_gpu=4,
     val_dataloader=dict(samples_per_gpu=1),
     test_dataloader=dict(samples_per_gpu=1),
     train=dict(
         type='UniformConcatDataset',
         datasets=train_list,
-        pipeline=train_pipeline_icdar2015),
+        pipeline=train_pipeline),
     val=dict(
         type='UniformConcatDataset',
         datasets=test_list,

@@ -1,36 +1,36 @@
-# reference configs/textdet/panet/panet_r18_fpem_ffm_600e_icdar2015.py
+# reference configs/textdet/panet/panet_r18_fpem_ffm_600e_ctw1500.py
 _base_ = [
     '../../_base_/schedules/schedule_adam_600e.py',
     '../../_base_/runtime_10e.py',
     '../../_base_/det_models/panet_r18_fpem_ffm.py',
-    '../../_base_/det_datasets/icdar2015.py',
+    '../../_base_/det_datasets/ctw1500.py',
     '../../_base_/det_pipelines/panet_pipeline.py',
 ]
 
-model = {{_base_.model_quad}}
+model = {{_base_.model_poly}}
 
 train_list = {{_base_.train_list}}
 test_list = {{_base_.test_list}}
 
-train_pipeline_icdar2015 = {{_base_.train_pipeline_icdar2015}}
-test_pipeline_icdar2015 = {{_base_.test_pipeline_icdar2015}}
+train_pipeline_ctw1500 = {{_base_.train_pipeline_ctw1500}}
+test_pipeline_ctw1500 = {{_base_.test_pipeline_ctw1500}}
 
 data = dict(
-    samples_per_gpu=8,
+    samples_per_gpu=2,
     workers_per_gpu=2,
     val_dataloader=dict(samples_per_gpu=1),
     test_dataloader=dict(samples_per_gpu=1),
     train=dict(
         type='UniformConcatDataset',
         datasets=train_list,
-        pipeline=train_pipeline_icdar2015),
+        pipeline=train_pipeline_ctw1500),
     val=dict(
         type='UniformConcatDataset',
         datasets=test_list,
-        pipeline=test_pipeline_icdar2015),
+        pipeline=test_pipeline_ctw1500),
     test=dict(
         type='UniformConcatDataset',
         datasets=test_list,
-        pipeline=test_pipeline_icdar2015))
+        pipeline=test_pipeline_ctw1500))
 
 evaluation = dict(interval=10, metric='hmean-iou')

@@ -1,17 +1,36 @@
-# PSENet text detection (reference configs/textdet/psenet/
-# psenet_r50_fpnf_600e_icdar2015.py + _base_/det_models/psenet_r50_fpnf.py)
-model = dict(
-    type='PSENet',
-    backbone=dict(type='ResNetDet50', stage_blocks=[3, 4, 6, 3],
-                  base_channels=64),
-    neck=dict(type='FPNF', in_channels=[256, 512, 1024, 2048],
-              out_channels=256, fusion_type='concat'),
-    head=dict(type='PSEHead', out_channels=7),
-    loss=dict(type='PSELoss', alpha=0.7, ohem_ratio=3,
-              kernel_sample_type='adaptive'),
-    postprocessor=dict(type='PSEPostprocessor', text_repr_type='quad'),
-    targets=dict(type='PSENetTargets',
-                 shrink_ratio=(1.0, 0.9, 0.8, 0.7, 0.6, 0.5, 0.4),
-                 max_shrink=20))
-optimizer = dict(type='Adam', lr=1e-4)
-total_epochs = 600
+# reference configs/textdet/psenet/psenet_r50_fpnf_600e_icdar2015.py
+_base_ = [
+    '../../_base_/runtime_10e.py',
+    '../../_base_/schedules/schedule_adam_step_600e.py',
+    '../../_base_/det_models/psenet_r50_fpnf.py',
+    '../../_base_/det_datasets/icdar2015.py',
+    '../../_base_/det_pipelines/psenet_pipeline.py',
+]
+
+model = {{_base_.model_quad}}
+
+train_list = {{_base_.train_list}}
+test_list = {{_base_.test_list}}
+
+train_pipeline = {{_base_.train_pipeline}}
+test_pipeline_icdar2015 = {{_base_.test_pipeline_icdar2015}}
+
+data = dict(
+    samples_per_gpu=8,
+    workers_per_gpu=2,
+    val_dataloader=dict(samples_per_gpu=1),
+    test_dataloader=dict(samples_per_gpu=1),
+    train=dict(
+        type='UniformConcatDataset',
+        datasets=train_list,
+        pipeline=train_pipeline),
+    val=dict(
+        type='UniformConcatDataset',
+        datasets=test_list,
+        pipeline=test_pipeline_icdar2015),
+    test=dict(
+        type='UniformConcatDataset',
+        datasets=test_list,
+        pipeline=test_pipeline_icdar2015))
+
+evaluation = dict(interval=10, metric='hmean-iou')

@@ -1,15 +1,34 @@
-# TextSnake (reference configs/textdet/textsnake/
-# textsnake_r50_fpn_unet_1200e_ctw1500.py + _base_/det_models/
-# textsnake_r50_fpn_unet.py)
-model = dict(
-    type='TextSnake',
-    backbone=dict(type='ResNetDet50', stage_blocks=[3, 4, 6, 3],
-                  base_channels=64),
-    neck=dict(type='FPN_UNet', in_channels=[256, 512, 1024, 2048],
-              out_channels=32),
-    head=dict(type='TextSnakeHead', out_channels=5),
-    loss=dict(type='TextSnakeLoss', ohem_ratio=3.0),
-    postprocessor=dict(type='TextSnakePostprocessor', text_repr_type='poly'),
-    targets=dict(type='TextSnakeTargets'))
-optimizer = dict(type='SGD', lr=1e-3, momentum=0.99, weight_decay=5e-4)
-total_epochs = 1200
+# reference configs/textdet/textsnake/textsnake_r50_fpn_unet_1200e_ctw1500.py
+_base_ = [
+    '../../_base_/schedules/schedule_sgd_1200e.py',
+    '../../_base_/default_runtime.py',
+    '../../_base_/det_models/textsnake_r50_fpn_unet.py',
+    '../../_base_/det_datasets/ctw1500.py',
+    '../../_base_/det_pipelines/textsnake_pipeline.py',
+]
+
+train_list = {{_base_.train_list}}
+test_list = {{_base_.test_list}}
+
+train_pipeline = {{_base_.train_pipeline}}
+test_pipeline = {{_base_.test_pipeline}}
+
+data = dict(
+    samples_per_gpu=4,
+    workers_per_gpu=4,
+    val_dataloader=dict(samples_per_gpu=1),
+    test_dataloader=dict(samples_per_gpu=1),
+    train=dict(
+        type='UniformConcatDataset',
+        datasets=train_list,
+        pipeline=train_pipeline),
+    val=dict(
+        type='UniformConcatDataset',
+        datasets=test_list,
+        pipeline=test_pipeline),
+    test=dict(
+        type='UniformConcatDataset',
+        datasets=test_list,
+        pipeline=test_pipeline))
+
+evaluation = dict(interval=10, metric='hmean-iou')

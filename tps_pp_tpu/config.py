@@ -91,9 +91,18 @@ def _lookup(ns: Dict, dotted: str):
     return obj
 
 
+_BARE_INTERP_RE = re.compile(
+    r"(?<!['\"])(\{\{\s*_base_\.[\w.]+\s*\}\})(?!['\"])")
+
+
 def _exec_file(path: str) -> Dict[str, Any]:
     with open(path) as f:
         src = f.read()
+    # mmcv allows the template *bare* at statement level
+    # (``train_list = {{_base_.train_list}}``, e.g. reference
+    # configs/textdet/dbnet/dbnet_r18_fpnc_1200e_icdar2015.py:8-13); quote it
+    # so the file parses, then _interp_value resolves the whole-string form.
+    src = _BARE_INTERP_RE.sub(r"'\1'", src)
     ns: Dict[str, Any] = {"__file__": os.path.abspath(path)}
     exec(compile(src, path, "exec"), ns)
     # keep callables (classes/functions are legal config values, like
