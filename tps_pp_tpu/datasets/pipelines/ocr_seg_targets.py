@@ -97,10 +97,13 @@ class OCRSegTargets:
     def __call__(self, results: Dict) -> Dict:
         resize_shape = tuple(results['resize_shape'][:2])
         pad_shape = tuple(results['pad_shape'][:2])
-        # char boxes are annotated in ORIGINAL-image coords; this repo's
-        # ResizeOCR overwrites results['img_shape'] with the post-resize
-        # padded shape, so the pre-resize shape must come from ori_shape
-        src_shape = tuple(results.get('ori_shape',
+        # char boxes are in pre-resize coords: whatever geometry the image
+        # had when ResizeOCR consumed it (padding/rotation upstream shift
+        # the boxes AND grow the canvas — reference ocr_seg_targets.py:158
+        # reads the then-current img_shape). ResizeOCR records that shape;
+        # ori_shape is the fallback for pipelines without a resize.
+        src_shape = tuple(results.get('pre_resize_shape') or
+                          results.get('ori_shape',
                                       results['img_shape']))[:2]
         h_scale = resize_shape[0] / src_shape[0]
         w_scale = resize_shape[1] / src_shape[1]
@@ -129,4 +132,9 @@ class OCRSegTargets:
         results['gt_attn'] = attn
         results['gt_seg'] = seg
         results['gt_mask'] = mask
+        # reference packs [attn, seg, mask] as a BitmapMasks under
+        # 'gt_kernels' (ocr_seg_targets.py:198-200) and its seg pipeline
+        # Collects that key; a plain list serves the same role here
+        results['gt_kernels'] = [attn, seg, mask]
+        results['mask_fields'] = ['gt_kernels']
         return results

@@ -123,6 +123,12 @@ class ResizeOCR:
                 img_resize = img_resize[:, :, None]
             resize_shape = img_resize.shape
         results['img'] = img_resize
+        # the shape the resize consumed — geometric upstream transforms
+        # (RandomPaddingOCR, RandomRotateImageBox) may have grown the image
+        # past ori_shape, and box-coordinate consumers (OCRSegTargets) must
+        # scale from THIS shape (reference ocr_seg_targets.py:158-162 reads
+        # the pre-resize img_shape; here img_shape is overwritten below)
+        results['pre_resize_shape'] = (ori_height, ori_width)
         results['img_shape'] = img_resize.shape
         results['resize_shape'] = resize_shape
         results['pad_shape'] = img_resize.shape
@@ -166,6 +172,44 @@ class NormalizeOCR:
 
 
 @PIPELINES.register_module()
+class Normalize:
+    """mmcv-style normalize: 0-255 mean/std over the raw uint8 image, with
+    optional BGR->RGB flip (reference seg test pipeline,
+    configs/_base_/recog_pipelines/seg_pipeline.py uses mean=[x*255 ...])."""
+
+    def __init__(self, mean, std, to_rgb=True):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.to_rgb = to_rgb
+
+    def __call__(self, results: Dict) -> Dict:
+        img = results['img'].astype(np.float32)
+        if self.to_rgb and img.shape[-1] == 3:
+            img = img[..., ::-1]
+        results['img'] = (img - self.mean) / self.std
+        results['img_norm_cfg'] = dict(mean=self.mean.tolist(),
+                                       std=self.std.tolist(),
+                                       to_rgb=self.to_rgb)
+        return results
+
+
+@PIPELINES.register_module()
+class Albu:
+    """Albumentations block as used by reference pipelines
+    (e.g. abinet_pipeline.py GaussNoise/MotionBlur). The inner op names are
+    registered natively here, so this composes them from the registry."""
+
+    def __init__(self, transforms: Sequence, **kwargs):
+        self.transforms = [PIPELINES.build(t) if isinstance(t, dict) else t
+                           for t in transforms]
+
+    def __call__(self, results: Dict) -> Dict:
+        for t in self.transforms:
+            results = t(results)
+        return results
+
+
+@PIPELINES.register_module()
 class Collect:
     def __init__(self, keys=('img',),
                  meta_keys=('filename', 'ori_shape', 'resize_shape',
@@ -179,6 +223,20 @@ class Collect:
         if 'text' in results:
             data['text'] = results['text']
         return data
+
+
+@PIPELINES.register_module()
+class DefaultFormatBundle:
+    """mmdet/mmcv formatting stage (img -> CHW DataContainer in the
+    reference, mmdet formatting.py). Arrays stay NHWC numpy here and
+    Collect extracts them, so — like CustomFormatBundle below — this is
+    a passthrough that exists so reference pipeline configs build."""
+
+    def __init__(self, **kwargs):
+        pass
+
+    def __call__(self, results: Dict) -> Dict:
+        return results
 
 
 @PIPELINES.register_module()
