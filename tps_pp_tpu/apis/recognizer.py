@@ -77,9 +77,12 @@ class TextRecognizer:
         # stop the decode loop once every row emitted EOS (semantics
         # preserved — the codec ignores everything after the first EOS)
         self.early_exit = bool(cfg.get('early_exit', True))
-        # same exit inside the whole-decode pallas kernel (off by default
-        # pending an on-chip cost measurement of the while-loop lowering)
-        self.fused_early_exit = bool(cfg.get('fused_early_exit', False))
+        # same exit inside the whole-decode pallas kernel. Default ON:
+        # measured on-chip (scratch/probe_early_exit.py, B=512 v5e) the
+        # while-loop lowering costs ~0.15 ms on the never-exits case
+        # (58.73 -> 58.88 ms random weights) and saves ~10 ms on real
+        # text (58.72 -> 48.77 ms, +20% img/s on the trained flagship)
+        self.fused_early_exit = bool(cfg.get('fused_early_exit', True))
         self.beam_length_norm = bool(cfg.get('beam_length_norm', False))
         # decode modes:
         #   'auto' (default): pick the fastest serving path for the current
@@ -173,10 +176,7 @@ class TextRecognizer:
             fused_enc = getattr(type(self.module.encoder),
                                 'SUPPORTS_FUSED_FORWARD', False)
             # in-kernel all-rows-EOS early exit (same contract as
-            # greedy_decode's early_exit). Opt-in via cfg
-            # 'fused_early_exit' until the while-loop lowering's cost on
-            # the fixed-40-step protocol is measured (bench runs random
-            # weights, which never emit EOS — it gains nothing there).
+            # greedy_decode's early_exit); cfg 'fused_early_exit' opts out.
             end_idx = (self.label_convertor.end_idx
                        if getattr(self, 'fused_early_exit', False) and
                        self.early_exit else None)
