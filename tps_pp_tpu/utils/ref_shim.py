@@ -502,3 +502,108 @@ def load_reference():
     )
     _loaded = ns
     return ns
+
+
+# ---------------------------------------------------------------------------
+# Evaluation-side reference loading (hmean protocols)
+# ---------------------------------------------------------------------------
+
+def _install_shapely_shim():
+    """Minimal shapely.geometry.Polygon stand-in (shapely is not in this
+    image): shoelace area + Sutherland–Hodgman convex intersection. Exact
+    for the CONVEX polygons the eval parity tests feed it (rotated
+    rectangles); `is_valid` is True for those by construction."""
+    import numpy as np
+
+    if 'shapely.geometry' in sys.modules:
+        return
+
+    class _Poly:
+        def __init__(self, pts):
+            pts = np.asarray(pts, np.float64).reshape(-1, 2)
+            # signed shoelace; normalize to CCW so the clipper's
+            # inside-test (left of each directed edge) is consistent
+            x, y = pts[:, 0], pts[:, 1]
+            signed = 0.5 * (np.dot(x, np.roll(y, -1)) -
+                            np.dot(y, np.roll(x, -1)))
+            self._pts = pts if signed >= 0 else pts[::-1]
+            self.area = abs(float(signed))
+            self.is_valid = True
+
+        def buffer(self, dist):
+            return self
+
+        def intersection(self, other):
+            poly = [tuple(p) for p in self._pts]
+            clip = [tuple(p) for p in other._pts]
+            n = len(clip)
+            for k in range(n):
+                if not poly:
+                    break
+                ax, ay = clip[k]
+                bx, by = clip[(k + 1) % n]
+                out = []
+                m = len(poly)
+                for i in range(m):
+                    cx, cy = poly[i]
+                    dx, dy = poly[(i + 1) % m]
+                    cin = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) >= 0
+                    nin = (bx - ax) * (dy - ay) - (by - ay) * (dx - ax) >= 0
+                    if cin != nin:
+                        denom = ((bx - ax) * (dy - cy) -
+                                 (by - ay) * (dx - cx))
+                        t = (((cx - ax) * (dy - cy) -
+                              (cy - ay) * (dx - cx)) / denom
+                             if denom else 0.0)
+                        ix = ax + t * (bx - ax)
+                        iy = ay + t * (by - ay)
+                    if cin:
+                        out.append((cx, cy))
+                        if not nin:
+                            out.append((ix, iy))
+                    elif nin:
+                        out.append((ix, iy))
+                poly = out
+            return _Poly(poly) if len(poly) >= 3 else _EmptyGeom()
+
+        def union(self, other):
+            inter = self.intersection(other)
+            u = _EmptyGeom()
+            u.area = self.area + other.area - inter.area
+            return u
+
+    class _EmptyGeom:
+        area = 0.0
+        is_valid = True
+
+    geom = _module('shapely.geometry')
+    geom.Polygon = _Poly
+    sys.modules['shapely'].geometry = geom
+
+
+_eval_loaded = None
+
+
+def load_reference_eval():
+    """Load the reference evaluation modules (hmean_ic13 + helpers) with the
+    shapely shim installed; returns a namespace. Idempotent."""
+    global _eval_loaded
+    if _eval_loaded is not None:
+        return _eval_loaded
+    _install_shapely_shim()
+    utils_mod = _module('mmocr.utils')
+    ca = _load('mmocr/utils/check_argument.py', 'mmocr.utils.check_argument')
+    for name in ('is_3dlist', 'is_2dlist', 'is_type_list', 'is_none_or_type',
+                 'equal_len', 'valid_boundary'):
+        if hasattr(ca, name):
+            setattr(utils_mod, name, getattr(ca, name))
+    ev_utils = _load('mmocr/core/evaluation/utils.py',
+                     'mmocr.core.evaluation.utils')
+    ic13 = _load('mmocr/core/evaluation/hmean_ic13.py',
+                 'mmocr.core.evaluation.hmean_ic13')
+    ns = types.SimpleNamespace(eval_hmean_ic13=ic13.eval_hmean_ic13,
+                               compute_recall_precision=(
+                                   ic13.compute_recall_precision),
+                               eval_utils=ev_utils)
+    _eval_loaded = ns
+    return ns
