@@ -24,3 +24,8 @@ test = dict(
                             keys=['filename', 'text'],
                             keys_idx=[0, 1], separator=' ')),
     test_mode=True)
+
+# the reference exposes list forms too (toy_data.py:54-56); leaf configs
+# reference either {{_base_.train}} or {{_base_.train_list}}
+train_list = [train]
+test_list = [test]
