@@ -23,54 +23,9 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 CKPT_DEFAULT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             'flagship_toy.msgpack')
 
-# alphanumerics render reliably with the cv2 HERSHEY fonts; all are in
-# DICT90 so the flagship convertor needs no changes
-_CHARS = ('0123456789'
-          'abcdefghijklmnopqrstuvwxyz'
-          'ABCDEFGHIJKLMNOPQRSTUVWXYZ')
-
-
-def enable_compile_cache():
-    import jax
-    # this jax build ignores JAX_COMPILATION_CACHE_DIR (like JAX_PLATFORMS);
-    # only the config API works (see bench.py)
-    jax.config.update('jax_compilation_cache_dir', _CACHE_DIR)
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
-    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
-
-
-def render_dataset(n: int, seed: int = 0, h: int = 32, w: int = 128):
-    """n synthetic word crops: (imgs float32 (n,h,w,3) in [-1,1], texts).
-
-    cv2.putText over a light background with per-sample font/scale/slant
-    jitter — enough visual variety that memorizing the set exercises the
-    whole backbone+TPS+encoder+decoder stack, cheap enough to render 4k
-    images in seconds on the 1-core host.
-    """
-    import cv2
-    rng = np.random.default_rng(seed)
-    fonts = [cv2.FONT_HERSHEY_SIMPLEX, cv2.FONT_HERSHEY_DUPLEX,
-             cv2.FONT_HERSHEY_COMPLEX_SMALL, cv2.FONT_HERSHEY_TRIPLEX]
-    imgs = np.empty((n, h, w, 3), np.float32)
-    texts = []
-    for i in range(n):
-        k = int(rng.integers(3, 9))
-        txt = ''.join(rng.choice(list(_CHARS), size=k))
-        bg = int(rng.integers(180, 256))
-        img = np.full((h, w, 3), bg, np.uint8)
-        # mild background noise
-        img = cv2.add(img, rng.integers(
-            0, 20, (h, w, 3), dtype=np.uint8, endpoint=False))
-        font = fonts[int(rng.integers(len(fonts)))]
-        scale = float(rng.uniform(0.55, 0.85))
-        color = tuple(int(v) for v in rng.integers(0, 90, 3))
-        x0 = int(rng.integers(1, 6))
-        y0 = int(rng.integers(20, 27))
-        cv2.putText(img, txt, (x0, y0), font, scale, color,
-                    1 + int(rng.integers(0, 2)), cv2.LINE_AA)
-        imgs[i] = img.astype(np.float32) / 127.5 - 1.0
-        texts.append(txt)
-    return imgs, texts
+from tps_pp_tpu.utils.synth_text import render_dataset  # noqa: F401
+# (the renderer moved into the package so the heavy decode-mode parity
+# test and these evidence scripts share one implementation)
 
 
 def save_params(path: str, variables) -> None:

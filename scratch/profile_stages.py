@@ -32,7 +32,7 @@ def main():
     from tps_pp_tpu.apis.recognizer import build_recognizer
 
     h, w, c = FLAGSHIP_INPUT
-    rec = build_recognizer(nrtr_tps_pp_cfg(dtype='bfloat16'))
+    rec = build_recognizer(nrtr_tps_pp_cfg(dtype='bfloat16', decode_mode='auto'))
     variables = rec.init_variables(jax.random.PRNGKey(0), (2, h, w, c))
     variables = jax.device_put(variables)
     rng = np.random.default_rng(0)

@@ -1,0 +1,124 @@
+"""Trained-weights decode-mode accuracy neutrality (heavy tier).
+
+Pins the ROADMAP claim that the fused whole-decode pallas kernel is
+accuracy-neutral vs the reference-semantics XLA `steps` loop ON TRAINED
+WEIGHTS (random-weight argmax parity alone would miss calibration-dependent
+regressions): a tiny flagship memorizes rendered text, then all decode
+modes must score the same word accuracy, with per-step argmax flips only
+at near-ties of the `steps` distribution. Small-N version of
+scratch/{train_flagship_toy,eval_decode_modes}.py (the full-size run:
+word-acc 0.9927 across all three modes, 5/163,840 flips, all at exact
+top-2 ties). Reference protocol analog:
+/root/reference/mmocr/core/evaluation/ocr_metric.py:84-134 (word-acc) and
+the torch greedy loop nrtr_decoder.py:153-177 (the `steps` semantics).
+"""
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.heavy
+
+import jax
+import jax.numpy as jnp
+
+from tps_pp_tpu.apis.flagship import nrtr_tps_pp_cfg
+from tps_pp_tpu.apis.recognizer import build_recognizer
+from tps_pp_tpu.parallel import TrainState, build_optimizer, make_train_step
+from tps_pp_tpu.utils.synth_text import render_dataset
+
+H, W, N, BATCH = 32, 64, 64, 16
+
+
+def _interp_kernels(monkeypatch):
+    """Force interpret mode on the pallas kernels (CPU-runnable)."""
+    import tps_pp_tpu.ops.pallas_encoder as pe
+    import tps_pp_tpu.ops.pallas_full_decode as pfd
+
+    def wrap(orig):
+        def interp(*args, **kwargs):
+            kwargs['interpret'] = True
+            return orig(*args, **kwargs)
+        return interp
+
+    monkeypatch.setattr(pfd, 'full_greedy_decode',
+                        wrap(pfd.full_greedy_decode))
+    monkeypatch.setattr(pe, 'fused_encoder_forward',
+                        wrap(pe.fused_encoder_forward))
+
+
+def _train_tiny(seed=0, epochs=120, target=0.9):
+    # tiny cfg uses DICT36 (digits+lowercase) and max_seq_len=8: render
+    # lowercase words of <=6 chars so every label is representable
+    imgs, texts = render_dataset(N, seed=seed, h=H, w=W,
+                                 lower=True, max_len=6)
+    cfg = nrtr_tps_pp_cfg(tiny=True, dtype='bfloat16')
+    rec = build_recognizer(cfg)
+    variables = rec.init_variables(jax.random.PRNGKey(seed), (2, H, W, 3))
+    tx, _ = build_optimizer(
+        dict(type='Adam', lr=2e-3, grad_clip=dict(max_norm=5.0)),
+        steps_per_epoch=N // BATCH)
+    state = TrainState.create(variables, tx)
+    train_step = make_train_step(rec)
+    rng = jax.random.PRNGKey(seed + 1)
+    order_rng = np.random.default_rng(seed + 2)
+    for epoch in range(epochs):
+        for sel in order_rng.permutation(N).reshape(-1, BATCH):
+            td = rec.label_convertor.str2tensor([texts[j] for j in sel])
+            batch = {
+                'img': jnp.asarray(imgs[sel], jnp.bfloat16),
+                'valid_ratio': jnp.ones((BATCH,), jnp.float32),
+                'padded_targets': jnp.asarray(td['padded_targets']),
+            }
+            state, metrics = train_step(state, batch, rng)
+        # ~0.94 acc by epoch 70 on one CPU core (~2 min); eval sparsely
+        if epoch >= 49 and epoch % 10 == 9:
+            if _word_acc(rec, state.variables(), imgs, texts) >= target:
+                break
+    return state.variables(), imgs, texts
+
+
+def _predict(variables, imgs, mode):
+    kv = 'int8' if mode == 'fused40' else 'bfloat16'
+    rec = build_recognizer(nrtr_tps_pp_cfg(tiny=True, dtype='bfloat16',
+                                           kv_dtype=kv, decode_mode=mode))
+    assert rec.resolved_decode_mode() == mode, (
+        mode, rec.resolved_decode_mode())
+    scores = np.asarray(
+        rec.predict(variables, jnp.asarray(imgs, jnp.bfloat16)), np.float32)
+    idxs, _ = rec.label_convertor.tensor2idx(scores)
+    return scores, rec.label_convertor.idx2str(idxs)
+
+
+def _word_acc(rec, variables, imgs, texts):
+    scores = rec.predict(variables, jnp.asarray(imgs, jnp.bfloat16))
+    idxs, _ = rec.label_convertor.tensor2idx(np.asarray(scores, np.float32))
+    preds = rec.label_convertor.idx2str(idxs)
+    return float(np.mean([p == t for p, t in zip(preds, texts)]))
+
+
+def test_decode_modes_accuracy_neutral_on_trained_weights(monkeypatch):
+    _interp_kernels(monkeypatch)
+    variables, imgs, texts = _train_tiny()
+
+    steps_scores, steps_preds = _predict(variables, imgs, 'steps')
+    steps_acc = float(np.mean(
+        [p == t for p, t in zip(steps_preds, texts)]))
+    assert steps_acc >= 0.85, f'tiny flagship failed to memorize: {steps_acc}'
+
+    base_arg = steps_scores.argmax(-1)
+    top2 = np.partition(steps_scores, -2, axis=-1)[..., -2:]
+    gap = top2[..., 1] - top2[..., 0]
+
+    for mode in ('fused40_bf16', 'fused40'):
+        scores, preds = _predict(variables, imgs, mode)
+        acc = float(np.mean([p == t for p, t in zip(preds, texts)]))
+        # the headline claim: identical word accuracy on trained weights
+        assert acc == steps_acc, (mode, acc, steps_acc)
+        flips = scores.argmax(-1) != base_arg
+        if flips.any():
+            # flips may only sit at (near-)ties of the steps distribution;
+            # int8 enc-KV quantization widens the tie window slightly
+            tol = 1e-3 if mode == 'fused40_bf16' else 5e-2
+            worst = float(gap[flips].max())
+            assert worst < tol, (mode, worst, int(flips.sum()))
+        agree = float(np.mean([a == b for a, b in zip(preds, steps_preds)]))
+        assert agree >= 0.95, (mode, agree)

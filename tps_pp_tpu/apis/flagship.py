@@ -27,9 +27,11 @@ def nrtr_tps_pp_cfg(dtype: str = 'float32', tiny: bool = False,
             encoder=dict(type='NRTREncoder', n_layers=2, n_head=2, d_k=8,
                          d_v=8, d_model=64, d_inner=128, dropout=0.1),
             decoder=dict(type='NRTRDecoder', n_layers=2, d_embedding=64,
-                         n_head=2, d_model=64, d_inner=128, d_k=8, d_v=8),
+                         n_head=2, d_model=64, d_inner=128, d_k=8, d_v=8,
+                         kv_dtype=kv_dtype),
             loss=dict(type='TFLoss'),
             max_seq_len=8,
+            decode_mode=decode_mode,
         )
     return dict(
         type='NRTR',

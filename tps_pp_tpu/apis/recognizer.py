@@ -164,6 +164,10 @@ class TextRecognizer:
                 # to the XLA loop for mismatched configs
                 and getattr(decoder, 'd_k', None) == getattr(
                     decoder, 'd_v', None)
+                # Mosaic blocks need 128-lane shapes: toy dims (e.g. the
+                # tiny flagship's d_model=64) fail to lower — explicit
+                # fused modes stay available for interpret-mode tests
+                and getattr(decoder, 'd_model', 0) % 128 == 0
                 and jax.default_backend() not in ('cpu', 'gpu')):
             return 'fused40_bf16'
         return 'steps'
