@@ -28,6 +28,15 @@ from tps_pp_tpu.utils.synth_text import render_dataset  # noqa: F401
 # test and these evidence scripts share one implementation)
 
 
+def enable_compile_cache():
+    import jax
+    # this jax build ignores JAX_COMPILATION_CACHE_DIR (like JAX_PLATFORMS);
+    # only the config API works (see bench.py)
+    jax.config.update('jax_compilation_cache_dir', _CACHE_DIR)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+
+
 def save_params(path: str, variables) -> None:
     from flax import serialization
     with open(path, 'wb') as f:
@@ -73,3 +82,28 @@ def timed_scan(fn, args, inner: int = 6, iters: int = 3, warmup: int = 2):
         run()
     dt = time.perf_counter() - t0
     return dt / (iters * inner)
+
+
+def build_model_cfg(model: str, dtype: str = 'bfloat16',
+                    kv_dtype: str = 'bfloat16', decode_mode: str = 'steps'):
+    """(cfg, (h, w, c), default_ckpt_path) for the evidence scripts'
+    --model switch: 'nrtr' = the flagship, 'satrn' = SATRN-small from the
+    shipped config (decode-mode A/B for the second fused-capable family)."""
+    import os as _os
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    if model == 'nrtr':
+        from tps_pp_tpu.apis.flagship import FLAGSHIP_INPUT, nrtr_tps_pp_cfg
+        cfg = nrtr_tps_pp_cfg(dtype=dtype, kv_dtype=kv_dtype,
+                              decode_mode=decode_mode)
+        return cfg, FLAGSHIP_INPUT, CKPT_DEFAULT
+    if model == 'satrn':
+        from tps_pp_tpu.config import load_config
+        lc = load_config(_os.path.join(here, '..', 'configs', 'textrecog',
+                                       'satrn', 'satrn_small.py'))
+        cfg = dict(lc['model'])
+        cfg['dtype'] = dtype
+        cfg['decode_mode'] = decode_mode
+        cfg['decoder'] = dict(cfg['decoder'], kv_dtype=kv_dtype)
+        return cfg, tuple(lc['input_shape']), _os.path.join(
+            here, 'satrn_toy.msgpack')
+    raise ValueError(f'unknown --model {model}')

@@ -18,8 +18,8 @@ import json
 
 import numpy as np
 
-from common import (CKPT_DEFAULT, enable_compile_cache, load_params,
-                    render_dataset)
+from common import (CKPT_DEFAULT, build_model_cfg, enable_compile_cache,
+                    load_params, render_dataset)
 
 
 def predict_all(rec, variables, imgs, batch, dtype):
@@ -37,7 +37,9 @@ def predict_all(rec, variables, imgs, batch, dtype):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--ckpt', default=CKPT_DEFAULT)
+    ap.add_argument('--ckpt', default=None,
+                    help='defaults per --model (flagship_toy/satrn_toy)')
+    ap.add_argument('--model', choices=['nrtr', 'satrn'], default='nrtr')
     ap.add_argument('--n', type=int, default=4096)
     ap.add_argument('--batch', type=int, default=512)
     ap.add_argument('--seed', type=int, default=0)
@@ -48,19 +50,21 @@ def main():
     enable_compile_cache()
     import jax
     import jax.numpy as jnp
-    from tps_pp_tpu.apis.flagship import FLAGSHIP_INPUT, nrtr_tps_pp_cfg
     from tps_pp_tpu.apis.recognizer import build_recognizer
 
-    h, w, _ = FLAGSHIP_INPUT
+    _, (h, w, c), default_ckpt = build_model_cfg(args.model)
+    if args.ckpt is None:
+        args.ckpt = default_ckpt
     imgs, texts = render_dataset(args.n, seed=args.seed, h=h, w=w)
 
     results = {}
     scores_by_mode = {}
     for mode in args.modes:
         kv = 'int8' if mode == 'fused40' else 'bfloat16'
-        rec = build_recognizer(nrtr_tps_pp_cfg(
-            dtype='bfloat16', kv_dtype=kv, decode_mode=mode))
-        variables = rec.init_variables(jax.random.PRNGKey(0), (2, h, w, 3))
+        cfg, _, _ = build_model_cfg(args.model, dtype='bfloat16',
+                                    kv_dtype=kv, decode_mode=mode)
+        rec = build_recognizer(cfg)
+        variables = rec.init_variables(jax.random.PRNGKey(0), (2, h, w, c))
         variables = load_params(args.ckpt, variables)
         assert rec.resolved_decode_mode() == mode, (
             f'{mode} resolved to {rec.resolved_decode_mode()}')

@@ -19,7 +19,7 @@ import time
 
 import numpy as np
 
-from common import (CKPT_DEFAULT, enable_compile_cache, render_dataset,
+from common import (build_model_cfg, enable_compile_cache, render_dataset,
                     save_params)
 
 
@@ -47,23 +47,27 @@ def main():
     ap.add_argument('--lr', type=float, default=3e-4)
     ap.add_argument('--target', type=float, default=0.99)
     ap.add_argument('--seed', type=int, default=0)
-    ap.add_argument('--out', default=CKPT_DEFAULT)
+    ap.add_argument('--model', choices=['nrtr', 'satrn'], default='nrtr')
+    ap.add_argument('--out', default=None,
+                    help='defaults per --model (flagship_toy/satrn_toy)')
     args = ap.parse_args()
 
     enable_compile_cache()
     import jax
     import jax.numpy as jnp
-    from tps_pp_tpu.apis.flagship import FLAGSHIP_INPUT, nrtr_tps_pp_cfg
     from tps_pp_tpu.apis.recognizer import build_recognizer
     from tps_pp_tpu.parallel import TrainState, build_optimizer, \
         make_train_step
 
-    h, w, c = FLAGSHIP_INPUT
+    cfg, (h, w, c), default_out = build_model_cfg(args.model,
+                                                  dtype='bfloat16')
+    if args.out is None:
+        args.out = default_out
     imgs, texts = render_dataset(args.n, seed=args.seed, h=h, w=w)
     print(f'rendered {args.n} crops; first 3: {texts[:3]}', flush=True)
 
     # bf16 compute / fp32 params — the same dtype split bench.py measures
-    rec = build_recognizer(nrtr_tps_pp_cfg(dtype='bfloat16'))
+    rec = build_recognizer(cfg)
     dtype = jnp.bfloat16
     variables = rec.init_variables(jax.random.PRNGKey(args.seed),
                                    (2, h, w, c))
