@@ -193,7 +193,7 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: Optional[int] = None,
                  pad_to_batch: bool = True, num_workers: int = 0,
-                 prefetch: int = 2, mp_context: str = 'fork'):
+                 prefetch: int = 2, mp_context: str = 'forkserver'):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -219,6 +219,11 @@ class DataLoader:
         if self._pool is None:
             import concurrent.futures as cf
             import multiprocessing as mp
+            # default is forkserver: fork from a multi-threaded parent
+            # (JAX dispatch threads are already running by now) is
+            # deadlock-prone and deprecated in CPython 3.12+. The dataset
+            # pickles to each worker; loaders drop live handles on
+            # __getstate__ and reopen lazily (loader.py, native.py).
             self._pool = cf.ProcessPoolExecutor(
                 max_workers=self.num_workers,
                 mp_context=mp.get_context(self.mp_context),
