@@ -84,6 +84,10 @@ class TextRecognizer:
         # text (58.72 -> 48.77 ms, +20% img/s on the trained flagship)
         self.fused_early_exit = bool(cfg.get('fused_early_exit', True))
         self.beam_length_norm = bool(cfg.get('beam_length_norm', False))
+        # serving stem path: 'auto' runs the channels-on-sublanes fused
+        # stem kernels (ops/pallas_stem.py) on TPU for the flagship
+        # v2_large geometry; 'xla' keeps the flax convs
+        self.stem_mode = cfg.get('stem_mode', 'auto')
         # decode modes:
         #   'auto' (default): pick the fastest serving path for the current
         #     backend — on TPU with a fused-capable decoder this is
@@ -172,8 +176,48 @@ class TextRecognizer:
             return 'fused40_bf16'
         return 'steps'
 
+    def resolved_stem_mode(self) -> str:
+        """'fused' iff the serving stem runs the (C, P)-layout pallas
+        kernels (ops/pallas_stem.py): measured vs XLA's NHWC convs the
+        fused stem sidesteps the <=64-lane MXU packing cliff. Needs the
+        flagship geometry (TPS hook after two stride-[1,2] stages) and a
+        TPU backend; everything else keeps the flax stem."""
+        mode = getattr(self, 'stem_mode', 'auto')
+        if mode == 'xla':
+            return 'xla'
+        bb = self.module.backbone
+        geometry_ok = (
+            self.module.tpsnet is not None
+            and self.module.preprocessor is None
+            and getattr(bb, 'tps_stage', None) == 2
+            and tuple(getattr(bb, 'strides', ()))[:2] == (1, 2)
+            and getattr(bb, 'stem_channels', 0) ==
+            getattr(bb, 'base_channels', -1))
+        if not geometry_ok:
+            return 'xla'
+        if mode == 'fused':
+            return 'fused'
+        # Mosaic sublane granularity: toy channel counts (tiny flagship's
+        # stem_channels=4) stay on the XLA path under 'auto'; explicit
+        # 'fused' remains available for interpret-mode tests
+        if getattr(bb, 'stem_channels', 0) % 8:
+            return 'xla'
+        # 'auto' stays on the XLA stem until the on-chip A/B
+        # (scratch/ab_stem_conv.py + full-pipeline bench) lands; flip to
+        # 'fused' once measured faster with parity green.
+        return 'xla'
+
+    def _fused_stem(self, variables, img, interpret: bool = False):
+        from ..ops.pallas_stem import fused_stem_forward
+        return fused_stem_forward(variables['params']['backbone'],
+                                  variables['batch_stats']['backbone'],
+                                  img, dtype=self.dtype,
+                                  interpret=interpret)
+
     def _predict_impl(self, variables, img, valid_ratio):
         mode = self.resolved_decode_mode()
+        stem = (self._fused_stem(variables, img)
+                if self.resolved_stem_mode() == 'fused' else None)
         if (self.autoregressive and getattr(self, 'beam_width', 1) <= 1
                 and mode in ('fused40', 'fused40_bf16')):
             enc_dtype = 'int8' if mode == 'fused40' else 'bfloat16'
@@ -188,10 +232,11 @@ class TextRecognizer:
                                      method='decode_full_fused',
                                      enc_dtype=enc_dtype,
                                      fused_encoder=fused_enc,
-                                     end_idx=end_idx)
+                                     end_idx=end_idx, stem=stem)
         if self.autoregressive:
             feat, out_enc = self.module.apply(variables, img, valid_ratio,
-                                              method='encode_full')
+                                              method='encode_full',
+                                              stem=stem)
 
             def decoder_apply(method, *args):
                 return self.module.apply(variables, *args, method=method)

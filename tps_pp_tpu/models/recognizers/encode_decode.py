@@ -29,24 +29,28 @@ class EncodeDecodeRecognizerModule(nn.Module):
     preprocessor: Optional[nn.Module] = None
     tpsnet: Optional[nn.Module] = None
 
-    def extract_feat(self, img, train: bool = False):
+    def extract_feat(self, img, train: bool = False, stem=None):
         """Backbone features with optional image-space preprocessor and
         feature-space TPS++ (reference extract_feat,
-        encode_decode_recognizer.py:107-122)."""
+        encode_decode_recognizer.py:107-122). ``stem``: precomputed
+        (x, skips) replacing backbone.stem_and_head — the serving path
+        passes the fused (C, P)-layout stem from ops/pallas_stem.py."""
         if self.preprocessor is not None:
             img = self.preprocessor(img, train=train)
         if self.tpsnet is not None:
-            x, skips = self.backbone.stem_and_head(img, train=train)
+            x, skips = (stem if stem is not None else
+                        self.backbone.stem_and_head(img, train=train))
             outs = self.tpsnet(x, skips, train=train)
             x = self.backbone.tail(outs['output'], train=train)
             return x
         return self.backbone(img, train=train)
 
-    def encode_full(self, img, valid_ratio=None, train: bool = False):
+    def encode_full(self, img, valid_ratio=None, train: bool = False,
+                    stem=None):
         """(feat, out_enc) — both are needed by decoders like SAR whose 2D
         attention reads the raw feature map alongside the holistic encoding
         (reference sar_decoder.py:164-200)."""
-        feat = self.extract_feat(img, train=train)
+        feat = self.extract_feat(img, train=train, stem=stem)
         out_enc = None
         if self.encoder is not None:
             out_enc = self.encoder(feat, valid_ratio=valid_ratio, train=train)
@@ -80,12 +84,12 @@ class EncodeDecodeRecognizerModule(nn.Module):
     def decode_full_fused(self, img, valid_ratio=None,
                           enc_dtype: str = 'int8',
                           fused_encoder: bool = False,
-                          end_idx: int = None):
+                          end_idx: int = None, stem=None):
         """encode + whole-decode-in-one-pallas-kernel serving path
         (NRTRDecoder.fused_full_decode). ``fused_encoder`` additionally
         routes the encoder through its whole-encoder pallas kernel;
         ``end_idx`` enables the kernel's all-rows-EOS early exit."""
-        feat = self.extract_feat(img, train=False)
+        feat = self.extract_feat(img, train=False, stem=stem)
         if fused_encoder:
             out_enc = self.encoder(feat, valid_ratio=valid_ratio,
                                    train=False, fused=True)
