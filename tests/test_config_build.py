@@ -7,11 +7,12 @@ builders, fabricate a demo batch at the pipeline's test geometry, run one
 forward_train (loss finite) and one forward_test (finite scores) under jit.
 """
 import glob
+import os
 
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.heavy
+pytestmark = [pytest.mark.heavy, pytest.mark.slow]
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +59,16 @@ def test_recog_config_builds_and_runs(path):
     from tps_pp_tpu.apis.recognizer import build_recognizer
 
     cfg = load_config(path)
+    lc = cfg['model'].get('label_convertor', {})
+    if lc.get('dict_file') and not os.path.exists(lc['dict_file']):
+        # site-local dict files (e.g. sar_r31_parallel_decoder_chinese's
+        # printed-Chinese dict) aren't mounted here — substitute a small
+        # generated dict so the rest of the config still builds and runs
+        import tempfile
+        tmp = tempfile.NamedTemporaryFile('w', suffix='.txt', delete=False)
+        tmp.write('\n'.join(list('0123456789abcdefgh中文')))
+        tmp.close()
+        cfg['model']['label_convertor'] = dict(lc, dict_file=tmp.name)
     rec = build_recognizer(cfg['model'])
     H, W, C = _pipeline_geometry(cfg)
     rng = jax.random.PRNGKey(0)

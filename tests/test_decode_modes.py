@@ -15,7 +15,7 @@ the torch greedy loop nrtr_decoder.py:153-177 (the `steps` semantics).
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.heavy
+pytestmark = [pytest.mark.heavy, pytest.mark.slow]
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ from tps_pp_tpu.apis.train import train_recognizer
 from tps_pp_tpu.apis.test import eval_recognizer
 from tps_pp_tpu.datasets import build_dataset
 
-pytestmark = pytest.mark.heavy
+pytestmark = [pytest.mark.heavy, pytest.mark.slow]
 
 TOY = os.path.join(os.path.dirname(__file__), 'data/ocr_toy_dataset')
 

@@ -9,6 +9,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = [pytest.mark.heavy, pytest.mark.slow]
+
 
 def _write_wildreceipt(tmp_path, n=8, with_images=False):
     """Synthetic wildreceipt-style jsonl: two separable node classes."""

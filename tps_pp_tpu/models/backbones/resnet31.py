@@ -95,8 +95,14 @@ class ResNet31OCR(nn.Module):
         outs.append(x)
         pool4 = self.stage4_pool
         if self.stage4_pool_cfg != 'unset':
-            pool4 = (tuple(self.stage4_pool_cfg['kernel_size'])
-                     if self.stage4_pool_cfg else None)
+            # reference config form stage4_pool_cfg=dict(kernel_size=2,
+            # stride=2) — kernel_size may be an int (nn.MaxPool2d style)
+            # or a pair
+            if self.stage4_pool_cfg:
+                k = self.stage4_pool_cfg['kernel_size']
+                pool4 = (k, k) if isinstance(k, int) else tuple(k)
+            else:
+                pool4 = None
         if pool4:
             x = max_pool(x, pool4, pool4)
         x = self.block4(x, train=train)
