@@ -12,7 +12,7 @@ def main():
     ap.add_argument('--batch', type=int, default=512)
     ap.add_argument('--ch', type=int, default=32)
     ap.add_argument('--hw', type=int, nargs=2, default=[32, 128])
-    ap.add_argument('--bn', type=int, default=8)
+    ap.add_argument("--bn", type=int, default=64)
     args = ap.parse_args()
     enable_compile_cache()
     import jax, jax.numpy as jnp, numpy as np
