@@ -94,6 +94,8 @@ def conv3x3_cp(x2d, w, b, *, H: int, W: int, relu: bool = False,
         out_specs=pl.BlockSpec((Cout, pb), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Cout, P), x2d.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x2d, w, b)
 
@@ -177,6 +179,10 @@ def basic_block_cp(t, w1, b1, wtaps, b2, *, H: int, W: int,
         out_specs=pl.BlockSpec((Cout, pb), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Cout, P), t.dtype),
+        # the in-kernel patches temporary ((9*C_mid, pb) bf16, ~36 MB at
+        # 64ch/32k lanes) exceeds Mosaic's default 16 MB scoped-vmem limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(t, w1, b1, wtaps, b2)
 
