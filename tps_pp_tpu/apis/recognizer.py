@@ -202,9 +202,11 @@ class TextRecognizer:
         # 'fused' remains available for interpret-mode tests
         if getattr(bb, 'stem_channels', 0) % 8:
             return 'xla'
-        # 'auto' stays on the XLA stem until the on-chip A/B
-        # (scratch/ab_stem_conv.py + full-pipeline bench) lands; flip to
-        # 'fused' once measured faster with parity green.
+        # MEASURED: the fused stem loses on-chip (scratch/ab_stem_mode.py,
+        # B=512 v5e: 66.0 ms vs 59.0 ms xla — the VPU tap-stacking costs
+        # more than the MXU lane-packing win buys at these dims), so
+        # 'auto' resolves to the XLA stem; 'fused' stays available
+        # explicitly.
         return 'xla'
 
     def _fused_stem(self, variables, img, interpret: bool = False):
