@@ -84,9 +84,9 @@ class TextRecognizer:
         # text (58.72 -> 48.77 ms, +20% img/s on the trained flagship)
         self.fused_early_exit = bool(cfg.get('fused_early_exit', True))
         self.beam_length_norm = bool(cfg.get('beam_length_norm', False))
-        # serving stem path: 'auto' runs the channels-on-sublanes fused
-        # stem kernels (ops/pallas_stem.py) on TPU for the flagship
-        # v2_large geometry; 'xla' keeps the flax convs
+        # serving stem path: 'auto' == 'xla' (the channels-on-sublanes
+        # pallas stem measured SLOWER on-chip — see resolved_stem_mode);
+        # 'fused' opts into ops/pallas_stem.py explicitly
         self.stem_mode = cfg.get('stem_mode', 'auto')
         # decode modes:
         #   'auto' (default): pick the fastest serving path for the current
