@@ -165,3 +165,45 @@ def test_predict_under_mesh_shard_map():
                                   bucket_batch=False, mesh=mesh))
     assert out6.shape[0] == 6
     np.testing.assert_allclose(out6, ref[:6], atol=2e-5, rtol=1e-4)
+
+
+def test_remat_policies_give_identical_steps():
+    """jax.checkpoint trades FLOPs for memory; the raw GRADIENTS must agree
+    across remat policies (up to recompute-order rounding). Post-optimizer
+    params are deliberately not compared: Adam's g/(sqrt(g^2)+eps) amplifies
+    reassociation noise in near-zero gradients to O(lr)."""
+    rec = build_recognizer(_tiny_cfg())
+    variables = rec.init_variables(jax.random.PRNGKey(0), (2, 32, 64, 3))
+    rng_img = np.random.default_rng(0)
+    td = rec.label_convertor.str2tensor(['ab', '7x'])
+    batch = {
+        'img': jnp.asarray(rng_img.standard_normal((2, 32, 64, 3)),
+                           jnp.float32),
+        'valid_ratio': jnp.ones((2,), jnp.float32),
+        'padded_targets': jnp.asarray(td['padded_targets']),
+    }
+
+    def grads_for(remat):
+        def loss_fn(params):
+            v = {'params': params, 'batch_stats': variables['batch_stats']}
+            total, _ = rec.compute_loss(v, batch, jax.random.PRNGKey(1),
+                                        train=True)
+            return total
+        if remat == 'full':
+            loss_fn = jax.checkpoint(loss_fn)
+        elif remat == 'dots':
+            loss_fn = jax.checkpoint(
+                loss_fn, policy=jax.checkpoint_policies
+                .dots_with_no_batch_dims_saveable)
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(
+            variables['params'])
+        return float(loss), jax.tree.leaves(grads)
+
+    base_loss, base_grads = grads_for('none')
+    scale = max(float(np.abs(np.asarray(g)).max()) for g in base_grads)
+    for remat in ('dots', 'full'):
+        loss, grads = grads_for(remat)
+        assert abs(loss - base_loss) < 1e-5 * max(1.0, abs(base_loss))
+        for a, b in zip(base_grads, grads):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6 * scale)

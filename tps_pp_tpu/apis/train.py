@@ -99,7 +99,8 @@ def train_recognizer(rec, train_dataset, cfg: Dict,
 
     if mesh is not None:
         state = shard_state(state, mesh)
-    train_step = make_train_step(rec, mesh=mesh)
+    train_step = make_train_step(
+        rec, mesh=mesh, remat=str(cfg.get('remat', 'none')))
     rng = jax.random.PRNGKey(seed + 1)
 
     # a resumed job continues from its epoch, not from 0 (the reference

@@ -162,8 +162,17 @@ def build_optimizer(cfg: Dict, steps_per_epoch: int = 1):
     return tx, schedule
 
 
-def make_train_step(recognizer, mesh=None, donate: bool = True) -> Callable:
-    """Jitted sharded train step over an optional mesh."""
+def make_train_step(recognizer, mesh=None, donate: bool = True,
+                    remat: str = 'none') -> Callable:
+    """Jitted sharded train step over an optional mesh.
+
+    ``remat``: rematerialization policy trading FLOPs for activation
+    memory (jax.checkpoint) — 'none' (default), 'dots' (save matmul
+    outputs, recompute elementwise: mild recompute, big win on conv/
+    attention activations), 'full' (save only the loss inputs: ~2x
+    forward FLOPs, minimal memory). Gradients are bitwise-identical
+    either way (tests/test_parallel.py).
+    """
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -175,6 +184,15 @@ def make_train_step(recognizer, mesh=None, donate: bool = True) -> Callable:
             total, (losses, new_state) = recognizer.compute_loss(
                 variables, batch, rng, train=True)
             return total, (losses, new_state.get('batch_stats', {}))
+
+        if remat == 'full':
+            loss_fn = jax.checkpoint(loss_fn)
+        elif remat == 'dots':
+            loss_fn = jax.checkpoint(
+                loss_fn, policy=jax.checkpoint_policies
+                .dots_with_no_batch_dims_saveable)
+        elif remat != 'none':
+            raise ValueError(f'unknown remat policy {remat!r}')
 
         (loss, (losses, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
