@@ -370,7 +370,7 @@ def _full_greedy_decode_impl(enc_k, enc_v, src_mask, weights, *, S: int,
                                 memory_space=pltpu.VMEM)
         scratch = [pltpu.VMEM((L, bt, T, 2 * HDm), jnp.bfloat16)]
     else:
-        enc_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        enc_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch = [pltpu.VMEM((L, bt, T, 2 * HDm), jnp.bfloat16),
                    pltpu.VMEM((bt, L, TE, 2 * HDm), jnp.bfloat16),
                    pltpu.SemaphoreType.DMA(())]
