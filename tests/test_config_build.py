@@ -65,7 +65,9 @@ def test_recog_config_builds_and_runs(path):
         # printed-Chinese dict) aren't mounted here — substitute a small
         # generated dict so the rest of the config still builds and runs
         import tempfile
-        tmp = tempfile.NamedTemporaryFile('w', suffix='.txt', delete=False)
+        tmp = tempfile.NamedTemporaryFile('w', suffix='.txt',
+                                  encoding='utf-8',
+                                  delete=False)
         tmp.write('\n'.join(list('0123456789abcdefgh中文')))
         tmp.close()
         cfg['model']['label_convertor'] = dict(lc, dict_file=tmp.name)

@@ -39,8 +39,18 @@ def test_basic_block_cp_matches_flax_block():
     x = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.float32)
     blk = BasicBlock(C, use_conv1x1=True)
     v = blk.init(jax.random.PRNGKey(0), x)
-    # make BN stats non-trivial
-    v = jax.tree.map(lambda a: a, v)
+    # non-trivial BN stats + affines so a fold_bn bug can't hide behind
+    # mean=0 / var=1 / gamma=1 / beta=0 defaults
+    keys = iter(jax.random.split(jax.random.PRNGKey(7), 64))
+
+    def perturb(path, a):
+        name = path[-1].key if hasattr(path[-1], 'key') else str(path[-1])
+        if name in ('mean', 'bias'):
+            return a + jax.random.normal(next(keys), a.shape) * 0.3
+        if name in ('var', 'scale'):
+            return a * jnp.exp(jax.random.normal(next(keys), a.shape) * 0.3)
+        return a
+    v = jax.tree_util.tree_map_with_path(perturb, v)
     ref = blk.apply(v, x, train=False)
 
     from tps_pp_tpu.ops.pallas_stem import fold_bn

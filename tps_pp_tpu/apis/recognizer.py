@@ -209,8 +209,12 @@ class TextRecognizer:
         # explicitly.
         return 'xla'
 
-    def _fused_stem(self, variables, img, interpret: bool = False):
+    def _fused_stem(self, variables, img, interpret: bool = None):
         from ..ops.pallas_stem import fused_stem_forward
+        if interpret is None:
+            # explicit stem_mode='fused' off-TPU degrades to interpret
+            # mode instead of a Mosaic unsupported-backend error
+            interpret = jax.default_backend() in ('cpu', 'gpu')
         return fused_stem_forward(variables['params']['backbone'],
                                   variables['batch_stats']['backbone'],
                                   img, dtype=self.dtype,
@@ -260,7 +264,7 @@ class TextRecognizer:
                          if self.early_exit else None),
                 kv_bucket=self.kv_bucket)
         return self.module.apply(variables, img, valid_ratio,
-                                 method='forward_test_nar')
+                                 method='forward_test_nar', stem=stem)
 
     def predict(self, variables, img, valid_ratio=None,
                 bucket_batch: bool = True, mesh=None):

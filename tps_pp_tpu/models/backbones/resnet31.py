@@ -94,17 +94,19 @@ class ResNet31OCR(nn.Module):
         x = self.conv3(x, train=train)
         outs.append(x)
         pool4 = self.stage4_pool
+        stride4 = None
         if self.stage4_pool_cfg != 'unset':
             # reference config form stage4_pool_cfg=dict(kernel_size=2,
-            # stride=2) — kernel_size may be an int (nn.MaxPool2d style)
-            # or a pair
+            # stride=2) — values may be ints (nn.MaxPool2d style) or pairs
             if self.stage4_pool_cfg:
                 k = self.stage4_pool_cfg['kernel_size']
                 pool4 = (k, k) if isinstance(k, int) else tuple(k)
+                st = self.stage4_pool_cfg.get('stride', k)
+                stride4 = (st, st) if isinstance(st, int) else tuple(st)
             else:
                 pool4 = None
         if pool4:
-            x = max_pool(x, pool4, pool4)
+            x = max_pool(x, pool4, stride4 or pool4)
         x = self.block4(x, train=train)
         x = self.conv4(x, train=train)
         outs.append(x)

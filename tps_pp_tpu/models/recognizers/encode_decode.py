@@ -68,9 +68,10 @@ class EncodeDecodeRecognizerModule(nn.Module):
         return self.decoder(feat, out_enc, targets=targets,
                             valid_ratio=valid_ratio, train=train)
 
-    def forward_test_nar(self, img, valid_ratio=None):
+    def forward_test_nar(self, img, valid_ratio=None, stem=None):
         """Single-pass test path for non-autoregressive decoders (CRNN)."""
-        feat, out_enc = self.encode_full(img, valid_ratio, train=False)
+        feat, out_enc = self.encode_full(img, valid_ratio, train=False,
+                                         stem=stem)
         return self.decoder(feat, out_enc, valid_ratio=valid_ratio,
                             train=False)
 

@@ -198,6 +198,17 @@ def fold_bn(kernel, bn_params, bn_stats, eps: float = 1e-5):
     return kernel * (gamma / sigma), beta - gamma * mean / sigma
 
 
+def _pick_bn(n: int, ib: int) -> int:
+    """Grid size for a batch of n images targeting ~ib images per block:
+    the largest divisor of n whose block still holds >= ib images (the
+    kernels require bn | N and whole images per block)."""
+    best = 1
+    for d in range(1, n + 1):
+        if n % d == 0 and n // d >= ib:
+            best = d
+    return best
+
+
 def _subsample2(x2d, n: int, H: int, W: int):
     """(C, n*H*W) -> (C, n*(H//2)*(W//2)) taking even h, w."""
     C = x2d.shape[0]
@@ -215,6 +226,9 @@ def fused_stem_forward(bb_params, bb_stats, img, *, dtype=jnp.bfloat16,
     the variables pytree; BN is folded at trace time (weights are small).
     """
     N, H, W, _ = img.shape
+    assert H % 2 == 0 and W % 2 == 0, (
+        f'fused stem needs even H/W for the stride-2 subsample, got '
+        f'{H}x{W} — use stem_mode=\'xla\'')
     p, s = bb_params, bb_stats
 
     # conv1 + bn1 + relu: tiny (3->C), stays an XLA conv
@@ -226,6 +240,7 @@ def fused_stem_forward(bb_params, bb_stats, img, *, dtype=jnp.bfloat16,
     skip0 = x
 
     ib = max(1, 32768 // (H * W))          # ~32k lanes per grid block
+    bn = _pick_bn(N, ib)
     t = nhwc_to_cp(x)
 
     def block_args(lp, ls, has_ds):
@@ -247,7 +262,7 @@ def fused_stem_forward(bb_params, bb_stats, img, *, dtype=jnp.bfloat16,
         a = block_args(l1p[name], l1s[name], has_ds=False)
         t = basic_block_cp(t, a['w1'], a['b1'], a['wt'], a['b2'],
                            H=H, W=W, residual=True,
-                           bn=max(1, N // ib), interpret=interpret)
+                           bn=bn, interpret=interpret)
     skip1 = cp_to_nhwc(t, (N, H, W))
 
     # layer2 block0: stride-2 main path computed at full res then
@@ -258,7 +273,7 @@ def fused_stem_forward(bb_params, bb_stats, img, *, dtype=jnp.bfloat16,
     a0 = block_args(l2p[names[0]], l2s[names[0]], has_ds=True)
     z = basic_block_cp(t, a0['w1'], a0['b1'], a0['wt'], a0['b2'],
                        H=H, W=W, residual=False,
-                       bn=max(1, N // ib), interpret=interpret)
+                       bn=bn, interpret=interpret)
     z = _subsample2(z, N, H, W)
     t_sub = _subsample2(t, N, H, W)
     idn = jnp.dot(a0['wd'], t_sub.astype(dtype),
@@ -267,10 +282,11 @@ def fused_stem_forward(bb_params, bb_stats, img, *, dtype=jnp.bfloat16,
                     a0['bd'], 0).astype(dtype)
     H, W = H // 2, W // 2
     ib = max(1, 32768 // (H * W))
+    bn = _pick_bn(N, ib)
     for name in names[1:]:
         a = block_args(l2p[name], l2s[name], has_ds=False)
         t = basic_block_cp(t, a['w1'], a['b1'], a['wt'], a['b2'],
                            H=H, W=W, residual=True,
-                           bn=max(1, N // ib), interpret=interpret)
+                           bn=bn, interpret=interpret)
     x = cp_to_nhwc(t, (N, H, W))
     return x, [skip0, skip1]

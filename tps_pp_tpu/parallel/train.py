@@ -170,8 +170,9 @@ def make_train_step(recognizer, mesh=None, donate: bool = True,
     memory (jax.checkpoint) — 'none' (default), 'dots' (save matmul
     outputs, recompute elementwise: mild recompute, big win on conv/
     attention activations), 'full' (save only the loss inputs: ~2x
-    forward FLOPs, minimal memory). Gradients are bitwise-identical
-    either way (tests/test_parallel.py).
+    forward FLOPs, minimal memory). Gradients agree across policies up
+    to recompute-order rounding — NOT bitwise (tests/test_parallel.py);
+    do not switch remat mid-run if exact resume determinism matters.
     """
 
     def train_step(state: TrainState, batch, rng):
