@@ -100,6 +100,9 @@ def main():
         log_interval=cfg.get('log_config', {}).get('interval', 50),
         input_shape=tuple(cfg.get('input_shape', (32, 128, 3))),
         workers_per_gpu=cfg['data'].get('workers_per_gpu', 0),
+        # activation rematerialization: 'none'|'dots'|'full'
+        # (parallel/train.py make_train_step)
+        remat=cfg.get('remat', 'none'),
     )
     train_recognizer(rec, train_ds, train_cfg, val_dataset=val_ds,
                      work_dir=args.work_dir, resume_from=args.resume_from,
