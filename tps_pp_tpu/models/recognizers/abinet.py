@@ -56,7 +56,11 @@ class ABINetRecognizerModule(nn.Module):
         return {'out_enc': out_enc, 'out_decs': out_decs,
                 'out_fusers': out_fusers}
 
-    def forward_test_nar(self, img, valid_ratio=None):
+    def forward_test_nar(self, img, valid_ratio=None, stem=None):
+        # `stem` (a precomputed stem for the v2_large geometry) never
+        # applies to ABINet's ResNetABI backbone — accepted for the
+        # shared TextRecognizer predict signature, always None here
+        del stem
         outputs = self(img, valid_ratio=valid_ratio, train=False)
         if outputs['out_fusers']:
             return outputs['out_fusers'][-1]['logits']
