@@ -113,6 +113,35 @@ def test_model_inference_api():
     arr = cv2.imread(img_path, cv2.IMREAD_GRAYSCALE)[:, :, None]
     res2 = model_inference(rec, variables, [arr, arr])
     assert len(res2) == 2
+    # batch_mode sorts by valid_ratio for fused-decode early exit but
+    # must return results in INPUT order — mix widths to force a resort
+    wide = np.concatenate([arr, arr], axis=1)
+    mixed = [wide, arr, wide, arr]
+    batched = model_inference(rec, variables, mixed, batch_mode=True,
+                              test_pipeline=[
+                                  dict(type='LoadImageFromNdarray',
+                                       color_type='grayscale'),
+                                  dict(type='ResizeOCR', height=32,
+                                       min_width=100, max_width=100,
+                                       keep_aspect_ratio=True),
+                                  dict(type='ToTensorOCR'),
+                                  dict(type='NormalizeOCR', mean=[0.5],
+                                       std=[0.5]),
+                                  dict(type='Collect', keys=['img']),
+                              ])
+    per_image = [model_inference(rec, variables, m, batch_mode=False,
+                                 test_pipeline=[
+                                     dict(type='LoadImageFromNdarray',
+                                          color_type='grayscale'),
+                                     dict(type='ResizeOCR', height=32,
+                                          min_width=100, max_width=100,
+                                          keep_aspect_ratio=True),
+                                     dict(type='ToTensorOCR'),
+                                     dict(type='NormalizeOCR', mean=[0.5],
+                                          std=[0.5]),
+                                     dict(type='Collect', keys=['img']),
+                                 ]) for m in mixed]
+    assert [r['text'] for r in batched] == [r['text'] for r in per_image]
 
 
 def test_nrtr_tps_toy_overfit(tmp_path):

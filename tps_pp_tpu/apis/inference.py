@@ -101,7 +101,18 @@ def model_inference(rec, variables, imgs,
         return rec.simple_test(variables, batch, vr, img_metas=metas)
 
     if batch_mode:
-        results = run(datas)
+        # sort by valid_ratio (true-width share of the padded crop — a
+        # proxy for text length) so each fused-decode batch block holds
+        # similar-length texts: the in-kernel all-rows-EOS early exit
+        # fires when the SLOWEST row in a block finishes, so grouping
+        # short words lets their blocks stop decoding early. Results are
+        # restored to input order.
+        order = sorted(range(len(datas)), key=lambda i: float(
+            datas[i]['img_metas'].get('valid_ratio', 1.0) or 1.0))
+        sorted_results = run([datas[i] for i in order])
+        results = [None] * len(datas)
+        for r, i in zip(sorted_results, order):
+            results[i] = r
     else:
         # per-image contract (reference apis/utils.py disables batching
         # when batch_mode=False): pipelines with keep_aspect_ratio can
