@@ -7,7 +7,7 @@ RobustScanner) with the TPS++ feature-space rectifier, classic TPS-STN /
 MORAN / SPIN preprocessors, LMDB/txt data pipelines, the 6-benchmark academic
 evaluation protocol, and SPMD training/eval over jax.sharding meshes.
 """
-__version__ = '0.1.0'
+__version__ = '0.4.0'
 
 from . import registry
 from .config import ConfigDict, load_config
