@@ -1,9 +1,9 @@
 # CRNN on the toy dataset (reference crnn_toy_dataset.py — model declared
-# inline over the runtime/pipeline/toy-data/schedule bases; stacking the
-# full academic config with a second dataset base would duplicate keys,
-# which the config system rejects like mmcv)
+# inline over the runtime/pipeline/toy-data/schedule bases, with the
+# reference's data dict so the train/test CLIs run it end-to-end)
 _base_ = [
     '../../_base_/default_runtime.py',
+    '../../_base_/recog_pipelines/crnn_pipeline.py',
     '../../_base_/schedules/schedule_adadelta_5e.py',
     '../../_base_/recog_datasets/toy_data.py',
 ]
@@ -20,11 +20,13 @@ model = dict(
     loss=dict(type='CTCLoss'),
     label_convertor=label_convertor)
 
-test_pipeline = [
-    dict(type='LoadImageFromFile', color_type='grayscale'),
-    dict(type='ResizeOCR', height=32, min_width=32, max_width=None,
-         keep_aspect_ratio=True),
-    dict(type='ToTensorOCR'),
-    dict(type='NormalizeOCR', mean=[0.5], std=[0.5]),
-    dict(type='Collect', keys=['img']),
-]
+data = dict(
+    samples_per_gpu=32,
+    workers_per_gpu=2,
+    train=dict(type='UniformConcatDataset', datasets='{{_base_.train_list}}',
+               pipeline='{{_base_.train_pipeline}}'),
+    test=dict(type='UniformConcatDataset', datasets='{{_base_.test_list}}',
+              pipeline='{{_base_.test_pipeline}}'))
+test_pipeline = '{{_base_.test_pipeline}}'
+input_shape = (32, 100, 1)
+evaluation = dict(interval=1, metric='acc')
