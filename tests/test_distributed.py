@@ -22,6 +22,59 @@ def _free_port():
     return port
 
 
+def test_two_process_cli_eval(tmp_path):
+    """tools/test.py driven two-process through the documented env launch
+    (JAX_COORDINATOR_ADDRESS + JAX_NUM_PROCESSES/JAX_PROCESS_ID, the
+    dist_test.sh contract): per-rank dataset shards, ICI result gather,
+    rank-0-only --out write, and metrics identical to a single-process run
+    (reference: multi_gpu_test + collect_results_gpu, tools/test.py:206-217).
+    """
+    import json
+
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = 'configs/textrecog/crnn/crnn_toy_dataset.py'
+    tmp = str(tmp_path)
+    outs = [os.path.join(tmp, f'rank{r}.json') for r in range(2)]
+
+    def run(extra_env, out_path):
+        env = {k: v for k, v in os.environ.items() if k != 'XLA_FLAGS'}
+        env.update(JAX_PLATFORMS='cpu', **extra_env)
+        return subprocess.Popen(
+            [sys.executable, 'tools/test.py', cfg, '--eval', 'acc',
+             '--out', out_path],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo)
+
+    procs = [run({'JAX_COORDINATOR_ADDRESS': f'127.0.0.1:{port}',
+                  'JAX_NUM_PROCESSES': '2', 'JAX_PROCESS_ID': str(r)},
+                 outs[r]) for r in range(2)]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=480)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out)
+    for r, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f'rank {r} failed:\n{log[-4000:]}'
+    assert os.path.exists(outs[0]), logs[0][-2000:]   # rank 0 writes
+    assert not os.path.exists(outs[1])                # rank 1 is gated off
+
+    # single-process reference run: identical metrics (same PRNG init)
+    single = os.path.join(tmp, 'single.json')
+    p = run({}, single)
+    log, _ = p.communicate(timeout=480)
+    assert p.returncode == 0, log[-4000:]
+    with open(outs[0]) as f:
+        dist_metrics = json.load(f)['metrics']
+    with open(single) as f:
+        single_metrics = json.load(f)['metrics']
+    assert dist_metrics == single_metrics, (dist_metrics, single_metrics)
+
+
 def test_two_process_distributed_train_step():
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__),

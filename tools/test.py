@@ -24,17 +24,11 @@ def parse_args():
 
 
 def _maybe_init_distributed():
-    """Multi-host eval: one process per host, sharded work, gathered results.
-
-    Mirrors tools/train.py's gate: initialize when a coordinator address is
-    exported, or when Slurm launched >1 task (``jax.distributed.initialize``
-    auto-detects Slurm coordination from SLURM_* env vars). Single-process
-    runs skip it entirely.
-    """
-    if (os.environ.get('JAX_COORDINATOR_ADDRESS')
-            or int(os.environ.get('SLURM_NTASKS', '1') or '1') > 1):
-        import jax
-        jax.distributed.initialize()
+    """Multi-host eval: one process per host, sharded work, gathered
+    results. Same gate as tools/train.py (see
+    :func:`tps_pp_tpu.utils.platform.maybe_init_distributed`)."""
+    from tps_pp_tpu.utils.platform import maybe_init_distributed
+    maybe_init_distributed()
 
 
 class _ShardView:

@@ -5,10 +5,11 @@
         [--resume-from CKPT] [--seed N] [--cfg-options k=v ...]
 
 Multi-host: run one process per host with the same command;
-``jax.distributed.initialize()`` is called when JAX_COORDINATOR_ADDRESS is
-set, or when Slurm launched more than one task (jax auto-detects Slurm
-coordination from the SLURM_* env vars, so slurm_train.sh needs no manual
-env setup). SPMD needs no per-rank wrappers.
+``jax.distributed`` is initialized when JAX_COORDINATOR_ADDRESS (+
+JAX_NUM_PROCESSES/JAX_PROCESS_ID) is exported, or when Slurm launched more
+than one task (jax auto-detects Slurm coordination from the SLURM_* env
+vars, so slurm_train.sh needs no manual env setup). SPMD needs no per-rank
+wrappers.
 """
 import argparse
 import ast
@@ -35,15 +36,10 @@ def main():
                         format='%(asctime)s %(levelname)s %(message)s')
     args = parse_args()
 
-    from tps_pp_tpu.utils.platform import apply_jax_platform_env
+    from tps_pp_tpu.utils.platform import (apply_jax_platform_env,
+                                           maybe_init_distributed)
     apply_jax_platform_env()   # honor JAX_PLATFORMS despite the axon plugin
-
-    if (os.environ.get('JAX_COORDINATOR_ADDRESS')
-            or int(os.environ.get('SLURM_NTASKS', '1') or '1') > 1):
-        # jax auto-detects Slurm coordination (coordinator = first node of
-        # SLURM_STEP_NODELIST) when no explicit address is exported
-        import jax
-        jax.distributed.initialize()
+    maybe_init_distributed()
 
     from tps_pp_tpu.config import load_config, merge_cli_options
     from tps_pp_tpu.apis.recognizer import build_recognizer

@@ -20,3 +20,32 @@ def apply_jax_platform_env():
     if plat:
         import jax
         jax.config.update('jax_platforms', plat)
+
+
+def maybe_init_distributed():
+    """Multi-host ``jax.distributed`` init for CLI entry points.
+
+    The jax-native analog of the reference's ``init_dist(launcher)``
+    (mmcv, launchers pytorch/slurm — tools/train.py:125-132), covering the
+    two documented launch paths:
+
+    * explicit env (tools/dist_train.sh): ``JAX_COORDINATOR_ADDRESS`` plus
+      ``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID`` exported to every host. jax
+      itself reads only the address from env (jax/_src/distributed.py
+      resolves ``JAX_COORDINATOR_ADDRESS`` but raises on undefined process
+      counts), so the counts are forwarded explicitly here.
+    * Slurm (tools/slurm_train.sh): >1 task — bare ``initialize()`` lets
+      jax's cluster detection derive everything from the SLURM_* env vars.
+
+    Single-process runs (neither signal present) skip initialization.
+    """
+    if os.environ.get('JAX_COORDINATOR_ADDRESS'):
+        import jax
+        num = os.environ.get('JAX_NUM_PROCESSES')
+        pid = os.environ.get('JAX_PROCESS_ID')
+        jax.distributed.initialize(
+            num_processes=int(num) if num else None,
+            process_id=int(pid) if pid else None)
+    elif int(os.environ.get('SLURM_NTASKS', '1') or '1') > 1:
+        import jax
+        jax.distributed.initialize()
