@@ -1,0 +1,143 @@
+"""Training-step cost breakdown on the chip: where do the ~640 ms/step
+(B=512, bf16, no remat — ROADMAP training ledger) actually go?
+
+Variants (each timed like bench_train: `inner` steps chained inside ONE
+jitted lax.scan; per-dispatch axon-tunnel latency not billed to the chip):
+
+  full      value_and_grad + adam update            (the ledger number)
+  fwd       loss forward only (train=True)          -> bwd+update = full-fwd
+  notps     full, cfg without tpsnet                -> rectifier total
+  nosample  full, grid_sample -> strided slice      -> sampler (+DCE'd
+            (differentiable, ~free)                    MSFA/TPE: grid unused)
+  sg_grid   full, stop_gradient(grid) at the sampler -> grid-path backward
+                                                       (MSFA/TPE/grid-gen bwd)
+
+The gather sampler's backward is a scatter-add into (N,32,128,64) /
+(N,16,64,64) features — the suspected TPU-hostile op (training uses the
+differentiable gather path; the fused Pallas sampler is serving-only,
+models/rectifiers/tps_pp.py:312-316).
+
+Usage: python scratch/profile_train.py [--batch 512] [--inner 4] [--iters 3]
+       [--variants full fwd notps nosample sg_grid]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from common import enable_compile_cache  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=512)
+    ap.add_argument('--inner', type=int, default=4)
+    ap.add_argument('--iters', type=int, default=3)
+    ap.add_argument('--variants', nargs='+',
+                    default=['full', 'fwd', 'notps', 'nosample', 'sg_grid'])
+    args = ap.parse_args()
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from tps_pp_tpu.apis.flagship import FLAGSHIP_INPUT, nrtr_tps_pp_cfg
+    from tps_pp_tpu.apis.recognizer import build_recognizer
+    from tps_pp_tpu.models.rectifiers import tps_pp as tps_pp_mod
+    from tps_pp_tpu.ops.grid_sample import grid_sample as real_grid_sample
+    from tps_pp_tpu.parallel import TrainState, build_optimizer
+
+    h, w, c = FLAGSHIP_INPUT
+    B = args.batch
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((B, h, w, c)), jnp.bfloat16)
+
+    def sliced_sample(im, grid, **kw):
+        # differentiable, ~free stand-in: stride the input down to the
+        # grid's output shape (keeps shapes/dtypes; drops the grid path,
+        # so MSFA/TPE fwd+bwd get DCE'd along with the sampler)
+        N, H, W, C = im.shape
+        Ho, Wo = grid.shape[1], grid.shape[2]
+        return im[:, ::H // Ho, ::W // Wo]
+
+    def sg_grid_sample(im, grid, **kw):
+        return real_grid_sample(im, jax.lax.stop_gradient(grid), **kw)
+
+    results = {}
+    for variant in args.variants:
+        cfg = nrtr_tps_pp_cfg(dtype='bfloat16')
+        if variant == 'notps':
+            cfg.pop('tpsnet')
+        tps_pp_mod.grid_sample = {
+            'nosample': sliced_sample, 'sg_grid': sg_grid_sample,
+        }.get(variant, real_grid_sample)
+
+        rec = build_recognizer(cfg)
+        td = rec.label_convertor.str2tensor(['ab3x'] * B)
+        batch = {'img': img,
+                 'valid_ratio': jnp.ones((B,), jnp.float32),
+                 'padded_targets': jnp.asarray(td['padded_targets'])}
+        variables = rec.init_variables(jax.random.PRNGKey(0), (2, h, w, c))
+        tx, _ = build_optimizer(dict(type='Adam', lr=1e-4,
+                                     grad_clip=dict(max_norm=5.0)))
+        state0 = TrainState.create(variables, tx)
+
+        def loss_fn(params, bstats, rng_):
+            v = {'params': params}
+            if bstats:
+                v['batch_stats'] = bstats
+            total, (losses, new_state) = rec.compute_loss(
+                v, batch, rng_, train=True)
+            return total, new_state.get('batch_stats', {})
+
+        if variant == 'fwd':
+            @jax.jit
+            def run_many(state):
+                def body(acc, i):
+                    rng_ = jax.random.fold_in(jax.random.PRNGKey(1), i)
+                    loss, _ = loss_fn(state.params, state.batch_stats, rng_)
+                    return acc + loss, ()
+                acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                      jnp.arange(args.inner))
+                return acc
+        else:
+            @jax.jit
+            def run_many(state):
+                def body(st, i):
+                    rng_ = jax.random.fold_in(jax.random.PRNGKey(1), i)
+                    (loss, new_bs), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(st.params, st.batch_stats,
+                                               rng_)
+                    updates, new_opt = st.tx.update(grads, st.opt_state,
+                                                    st.params)
+                    new_params = optax.apply_updates(st.params, updates)
+                    return st.replace(step=st.step + 1, params=new_params,
+                                      batch_stats=new_bs,
+                                      opt_state=new_opt), loss
+                st, losses = jax.lax.scan(body, state,
+                                          jnp.arange(args.inner))
+                return losses[-1]
+
+        assert np.isfinite(float(run_many(state0)))
+        assert np.isfinite(float(run_many(state0)))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            float(run_many(state0))
+        dt = (time.perf_counter() - t0) / (args.iters * args.inner)
+        results[variant] = dt
+        print(f'{variant:9s} {dt * 1e3:8.1f} ms/step  {B / dt:7.0f} img/s',
+              flush=True)
+
+    tps_pp_mod.grid_sample = real_grid_sample
+    if 'full' in results:
+        f = results['full']
+        for k, v in results.items():
+            if k != 'full':
+                print(f'full - {k:9s} = {(f - v) * 1e3:7.1f} ms')
+
+
+if __name__ == '__main__':
+    main()

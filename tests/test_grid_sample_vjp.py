@@ -1,0 +1,125 @@
+"""grid_sample custom-VJP parity: the Pallas matmul backward (TPU training
+path, ops/pallas_grid_sample.py) must match plain autodiff of the gather
+formulation — which itself is torch-parity-tested via the rectifiers
+(tests/test_reference_parity.py, test_grad_parity.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tps_pp_tpu.ops.grid_sample import _gather_impl, grid_sample
+from tps_pp_tpu.ops.pallas_grid_sample import grid_sample_grad_img
+
+MODES = [('border', True), ('border', False),
+         ('zeros', True), ('zeros', False)]
+
+
+def _case(seed=0, N=2, H=7, W=13, C=5, Ho=4, Wo=6, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    img = jnp.asarray(rng.standard_normal((N, H, W, C)), dtype)
+    # cover in-range, near-edge and out-of-range sample points
+    grid = jnp.asarray(rng.uniform(-1.3, 1.3, (N, Ho, Wo, 2)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((N, Ho, Wo, C)), dtype)
+    return img, grid, cot
+
+
+@pytest.mark.parametrize('padding_mode,align_corners', MODES)
+def test_custom_vjp_matches_autodiff(padding_mode, align_corners):
+    """On CPU the custom VJP takes the XLA branch — grads must equal raw
+    autodiff of the gather impl up to summation-order rounding (the
+    custom bwd pulls the two cotangents through separate vjp closures)."""
+    img, grid, cot = _case()
+
+    def raw(im, gr):
+        return jnp.sum(_gather_impl(im, gr, padding_mode, align_corners)
+                       * cot)
+
+    def custom(im, gr):
+        return jnp.sum(grid_sample(im, gr, padding_mode=padding_mode,
+                                   align_corners=align_corners) * cot)
+
+    gi_raw, gg_raw = jax.grad(raw, argnums=(0, 1))(img, grid)
+    gi_c, gg_c = jax.grad(custom, argnums=(0, 1))(img, grid)
+    np.testing.assert_allclose(np.asarray(gi_raw), np.asarray(gi_c),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gg_raw), np.asarray(gg_c),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('padding_mode,align_corners', MODES)
+def test_pallas_grad_img_matches_autodiff(padding_mode, align_corners):
+    """The Pallas transpose-interpolation kernel (interpret mode on CPU)
+    vs the scatter-add XLA gradient, odd sizes included."""
+    img, grid, cot = _case()
+
+    def raw(im):
+        return jnp.sum(_gather_impl(im, grid, padding_mode, align_corners)
+                       * cot)
+
+    gi_raw = jax.grad(raw)(img)
+    gi_pl = grid_sample_grad_img(grid, cot, img.shape[1], img.shape[2],
+                                 padding_mode, align_corners,
+                                 interpret=True).astype(img.dtype)
+    np.testing.assert_allclose(np.asarray(gi_pl), np.asarray(gi_raw),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_grad_img_tiled_accumulation():
+    """More sample points than one tile: the revisited-output-block
+    accumulation across pixel tiles must sum correctly."""
+    img, grid, cot = _case(seed=3, Ho=16, Wo=24)   # P=384, tile 128 -> 3
+    gi_pl = grid_sample_grad_img(grid, cot, img.shape[1], img.shape[2],
+                                 tile=128, interpret=True)
+    gi_one = grid_sample_grad_img(grid, cot, img.shape[1], img.shape[2],
+                                  tile=384, interpret=True)
+
+    def raw(im):
+        return jnp.sum(_gather_impl(im, grid, 'border', True) * cot)
+
+    gi_raw = jax.grad(raw)(img)
+    np.testing.assert_allclose(np.asarray(gi_pl), np.asarray(gi_raw),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gi_pl), np.asarray(gi_one),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_grad_img_nondivisible_tile_padding():
+    """P not a multiple of the tile: zero-padded cotangent rows must
+    contribute nothing."""
+    img, grid, cot = _case(seed=4, Ho=5, Wo=7)     # P=35, tile 16 -> pad 13
+    gi_pl = grid_sample_grad_img(grid, cot, img.shape[1], img.shape[2],
+                                 tile=16, interpret=True)
+
+    def raw(im):
+        return jnp.sum(_gather_impl(im, grid, 'border', True) * cot)
+
+    gi_raw = jax.grad(raw)(img)
+    np.testing.assert_allclose(np.asarray(gi_pl), np.asarray(gi_raw),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_value_unchanged_by_custom_vjp():
+    img, grid, _ = _case(seed=5)
+    for pm, ac in MODES:
+        np.testing.assert_allclose(
+            np.asarray(grid_sample(img, grid, padding_mode=pm,
+                                   align_corners=ac)),
+            np.asarray(_gather_impl(img, grid, pm, ac)),
+            rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_cotangent_path():
+    """bf16 activations (the training dtype): kernel takes bf16 weights
+    with f32 accumulation — tolerance matches the forward kernel's
+    documented bf16 drift."""
+    img, grid, cot = _case(seed=6, dtype=jnp.bfloat16)
+    gi_pl = grid_sample_grad_img(grid, cot, img.shape[1], img.shape[2],
+                                 interpret=True)
+
+    def raw(im):
+        return jnp.sum(_gather_impl(im, grid, 'border', True)
+                       .astype(jnp.float32) * cot.astype(jnp.float32))
+
+    gi_raw = jax.grad(raw)(img.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(gi_pl), np.asarray(gi_raw),
+                               rtol=0.05, atol=0.05)

@@ -33,11 +33,12 @@ def _unnormalize(coord, size: int, align_corners: bool):
     return ((coord + 1.0) * size - 1.0) * 0.5
 
 
-@functools.partial(jax.jit, static_argnames=("padding_mode", "align_corners"))
-def grid_sample(img: jax.Array, grid: jax.Array, padding_mode: str = "border",
-                align_corners: bool = True) -> jax.Array:
-    """Sample ``img`` (N,H,W,C) at ``grid`` (N,Ho,Wo,2) [(x,y) order, torch
-    convention]. Returns (N,Ho,Wo,C)."""
+def _gather_impl(img: jax.Array, grid: jax.Array, padding_mode: str,
+                 align_corners: bool) -> jax.Array:
+    """Gather+lerp sampling (torch semantics); autodiffable but its
+    image-gradient lowers to a TPU-hostile scatter-add — ``grid_sample``
+    wraps it with a custom VJP that routes that cotangent through the
+    matmul-based Pallas kernel instead (ops/pallas_grid_sample.py)."""
     assert padding_mode in ("border", "zeros")
     N, H, W, C = img.shape
     gx = _unnormalize(grid[..., 0].astype(jnp.float32), W, align_corners)
@@ -84,6 +85,54 @@ def grid_sample(img: jax.Array, grid: jax.Array, padding_mode: str = "border",
         out = ((v00 * (1 - wx) + v01 * wx) * (1 - wy) +
                (v10 * (1 - wx) + v11 * wx) * wy)
     return out.astype(img.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _grid_sample_vjp(img, grid, padding_mode, align_corners):
+    return _gather_impl(img, grid, padding_mode, align_corners)
+
+
+def _grid_sample_fwd(img, grid, padding_mode, align_corners):
+    return _gather_impl(img, grid, padding_mode, align_corners), (img, grid)
+
+
+def _grid_sample_bwd(padding_mode, align_corners, res, g):
+    img, grid = res
+    # grad w.r.t. grid: autodiff of the gather formulation — reads of img
+    # plus elementwise lerp algebra, no scatter anywhere
+    _, pull_grid = jax.vjp(
+        lambda gr: _gather_impl(img, gr, padding_mode, align_corners), grid)
+    (d_grid,) = pull_grid(g)
+    if jax.default_backend() == 'tpu':
+        # grad w.r.t. img: transpose-interpolation matmuls (Pallas) — the
+        # XLA scatter-add this replaces measured ~420 ms of the 640 ms
+        # flagship train step at B=512 (scratch/profile_train.py)
+        from .pallas_grid_sample import grid_sample_grad_img
+        H, W = img.shape[1], img.shape[2]
+        d_img = grid_sample_grad_img(
+            grid, g, H, W, padding_mode, align_corners).astype(img.dtype)
+    else:
+        _, pull_img = jax.vjp(
+            lambda im: _gather_impl(im, grid, padding_mode, align_corners),
+            img)
+        (d_img,) = pull_img(g)
+    return d_img, d_grid
+
+
+_grid_sample_vjp.defvjp(_grid_sample_fwd, _grid_sample_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("padding_mode", "align_corners"))
+def grid_sample(img: jax.Array, grid: jax.Array, padding_mode: str = "border",
+                align_corners: bool = True) -> jax.Array:
+    """Sample ``img`` (N,H,W,C) at ``grid`` (N,Ho,Wo,2) [(x,y) order, torch
+    convention]. Returns (N,Ho,Wo,C).
+
+    Forward = gather+lerp (cheap on every backend). Backward w.r.t. the
+    image rides a Pallas matmul kernel on TPU (custom VJP above); CPU/GPU
+    keep plain autodiff. Values and gradients agree across paths
+    (tests/test_grid_sample_vjp.py)."""
+    return _grid_sample_vjp(img, grid, padding_mode, align_corners)
 
 
 def interp_weight_matrix(coords: jax.Array, size: int) -> jax.Array:
