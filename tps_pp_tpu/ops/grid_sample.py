@@ -96,26 +96,31 @@ def _grid_sample_fwd(img, grid, padding_mode, align_corners):
     return _gather_impl(img, grid, padding_mode, align_corners), (img, grid)
 
 
+# tests flip this to exercise the Pallas backward (interpret mode) on the
+# 8-virtual-device CPU mesh — the TPU branch is otherwise invisible to CI
+_FORCE_PALLAS_BWD = False
+
+
 def _grid_sample_bwd(padding_mode, align_corners, res, g):
     img, grid = res
-    # grad w.r.t. grid: autodiff of the gather formulation — reads of img
-    # plus elementwise lerp algebra, no scatter anywhere
+    if jax.default_backend() == 'tpu' or _FORCE_PALLAS_BWD:
+        # Both cotangents from the fused transpose-interpolation Pallas
+        # kernel (ops/pallas_grid_sample.py grid_sample_grad). d_img as an
+        # XLA scatter-add measured ~420 ms of the 640 ms flagship train
+        # step at B=512 (scratch/profile_train.py); d_grid as autodiff of
+        # the gather formulation re-gathers the image 4x. The kernel is
+        # wrapped in custom_partitioning (batch-parallel), so this VJP
+        # composes with the jit-auto-sharded train step on a mesh.
+        from .pallas_grid_sample import grid_sample_grad
+        d_img, d_grid = grid_sample_grad(
+            grid, g, img, padding_mode, align_corners)
+        return d_img.astype(img.dtype), d_grid
     _, pull_grid = jax.vjp(
         lambda gr: _gather_impl(img, gr, padding_mode, align_corners), grid)
     (d_grid,) = pull_grid(g)
-    if jax.default_backend() == 'tpu':
-        # grad w.r.t. img: transpose-interpolation matmuls (Pallas) — the
-        # XLA scatter-add this replaces measured ~420 ms of the 640 ms
-        # flagship train step at B=512 (scratch/profile_train.py)
-        from .pallas_grid_sample import grid_sample_grad_img
-        H, W = img.shape[1], img.shape[2]
-        d_img = grid_sample_grad_img(
-            grid, g, H, W, padding_mode, align_corners).astype(img.dtype)
-    else:
-        _, pull_img = jax.vjp(
-            lambda im: _gather_impl(im, grid, padding_mode, align_corners),
-            img)
-        (d_img,) = pull_img(g)
+    _, pull_img = jax.vjp(
+        lambda im: _gather_impl(im, grid, padding_mode, align_corners), img)
+    (d_img,) = pull_img(g)
     return d_img, d_grid
 
 

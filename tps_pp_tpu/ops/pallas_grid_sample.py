@@ -150,20 +150,8 @@ def _bwd_kernel(grid_ref, cot_ref, out_ref, *, H, W, TILE,
         out_ref[0] += acc
 
 
-def grid_sample_grad_img(grid: jax.Array, cot: jax.Array, H: int, W: int,
-                         padding_mode: str = 'border',
-                         align_corners: bool = True, tile: int = 512,
-                         interpret: bool = False) -> jax.Array:
-    """Gradient of bilinear ``grid_sample`` w.r.t. the source image only.
-
-    Args:
-      grid: (N, Ho, Wo, 2) sample grid, torch [-1,1] convention, (x,y).
-      cot:  (N, Ho, Wo, C) output cotangent.
-      H, W: source image spatial shape.
-    Returns: (N, H, W, C) float32 gradient (cast to the image dtype by the
-      caller — f32 accumulation across pixel tiles happens in VMEM).
-    """
-    assert padding_mode in ('border', 'zeros')
+def _grad_img_raw(grid, cot, H, W, padding_mode, align_corners, tile,
+                  interpret):
     N, Ho, Wo, C = cot.shape
     P_ = Ho * Wo
     TILE = min(tile, P_)
@@ -189,6 +177,36 @@ def grid_sample_grad_img(grid: jax.Array, cot: jax.Array, H: int, W: int,
         interpret=interpret,
     )(gf, cf)
     return out.reshape(N, H, W, C)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_grad_img(H, W, padding_mode, align_corners, tile,
+                          interpret):
+    def impl(grid, cot):
+        return _grad_img_raw(grid, cot, H, W, padding_mode, align_corners,
+                             tile, interpret)
+    return _def_batch_partition(custom_partitioning(impl), impl,
+                                'n ho wo k, n ho wo c -> n h w c')
+
+
+def grid_sample_grad_img(grid: jax.Array, cot: jax.Array, H: int, W: int,
+                         padding_mode: str = 'border',
+                         align_corners: bool = True, tile: int = 512,
+                         interpret: bool = False) -> jax.Array:
+    """Gradient of bilinear ``grid_sample`` w.r.t. the source image only
+    (minimal/reference kernel; the library VJP uses ``grid_sample_grad``).
+    Batch-parallel under jit auto-sharding (custom_partitioning).
+
+    Args:
+      grid: (N, Ho, Wo, 2) sample grid, torch [-1,1] convention, (x,y).
+      cot:  (N, Ho, Wo, C) output cotangent.
+      H, W: source image spatial shape.
+    Returns: (N, H, W, C) float32 gradient (cast to the image dtype by the
+      caller — f32 accumulation across pixel tiles happens in VMEM).
+    """
+    assert padding_mode in ('border', 'zeros')
+    return _partitioned_grad_img(H, W, padding_mode, align_corners, tile,
+                                 interpret)(grid, cot)
 
 
 # ------------------------------------------------ backward, fused full VJP
