@@ -140,6 +140,42 @@ def test_optimizer_mmcv_warmup_and_paramwise():
     assert np.any(np.asarray(updates['decoder']['fc']['kernel']) != 0.0)
 
 
+def test_det_trainer_optimizer_honors_lr_config_and_clip():
+    """ADVICE r4: the det/KIE loops built flat-lr sgd/adam and ignored
+    lr_config poly/warmup + optimizer_config.grad_clip. They now route
+    through build_optimizer_from_run_cfg — the schedule_sgd_1200e recipe
+    (poly power 0.9 + 1000-iter linear warmup + grad_clip) must decay."""
+    from tps_pp_tpu.parallel import build_optimizer_from_run_cfg
+    from tps_pp_tpu.apis.train_det import _make_optimizer
+
+    run_cfg = dict(
+        optimizer=dict(type='SGD', lr=0.007, momentum=0.9,
+                       weight_decay=0.0001),
+        optimizer_config=dict(grad_clip=dict(max_norm=0.5)),
+        lr_config=dict(policy='poly', power=0.9, min_lr=1e-7,
+                       warmup='linear', warmup_iters=200,
+                       warmup_ratio=0.001))
+    _, sched = build_optimizer_from_run_cfg(run_cfg, steps_per_epoch=10,
+                                            total_epochs=100)
+    assert float(sched(0)) == pytest.approx(0.007 * 0.001, rel=1e-3)
+    # mmcv warmup multiplies the regular (already poly-decayed) lr
+    assert float(sched(200)) == pytest.approx(
+        0.007 * (1 - 200 / 1000) ** 0.9, rel=1e-2)
+    mid, late = float(sched(500)), float(sched(900))
+    assert 1e-7 < late < mid < 0.007          # poly decay after warmup
+
+    # the det trainers' _make_optimizer wraps the same builder: huge
+    # gradients must come out clipped to max_norm before the lr scaling
+    tx = _make_optimizer(run_cfg, steps_per_epoch=10, total_epochs=100)
+    params = {'w': jnp.ones((4, 4))}
+    state = tx.init(params)
+    grads = {'w': jnp.full((4, 4), 1e6)}
+    updates, _ = tx.update(grads, state, params)
+    # after clip to 0.5 and warmup lr 7e-6, the update norm is tiny
+    norm = float(jnp.linalg.norm(updates['w']))
+    assert norm < 0.5 * 0.007
+
+
 def test_predict_under_mesh_shard_map():
     """Data-parallel serving: predict(mesh=...) shard_maps the forward over
     the 'data' axis (the fused Pallas paths cannot be auto-partitioned) and

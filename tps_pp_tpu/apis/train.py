@@ -20,8 +20,8 @@ import jax
 import numpy as np
 
 from ..datasets.ocr_dataset import DataLoader
-from ..parallel import (TrainState, build_optimizer, create_mesh,
-                        make_train_step, shard_state)
+from ..parallel import (TrainState, build_optimizer_from_run_cfg,
+                        create_mesh, make_train_step, shard_state)
 from .test import eval_recognizer
 
 logger = logging.getLogger('tps_pp_tpu')
@@ -57,15 +57,8 @@ def train_recognizer(rec, train_dataset, cfg: Dict,
                         mp_context='spawn')
     steps_per_epoch = len(loader)
 
-    opt_cfg = dict(cfg.get('optimizer', dict(type='Adam', lr=1e-4)))
-    opt_cfg['lr_config'] = dict(cfg.get('lr_config', {}) or {})
-    # poly decay spans the whole run; mmcv's optimizer_config carries
-    # grad_clip separately (reference schedules + default_runtime)
-    opt_cfg['lr_config'].setdefault('total_epochs', total_epochs)
-    oc = cfg.get('optimizer_config') or {}
-    if oc.get('grad_clip') and 'grad_clip' not in opt_cfg:
-        opt_cfg['grad_clip'] = dict(oc['grad_clip'])
-    tx, schedule = build_optimizer(opt_cfg, steps_per_epoch=steps_per_epoch)
+    tx, schedule = build_optimizer_from_run_cfg(
+        cfg, steps_per_epoch=steps_per_epoch, total_epochs=total_epochs)
 
     variables = rec.init_variables(jax.random.PRNGKey(seed),
                                    (batch_size, h, w, c))

@@ -94,12 +94,15 @@ def train_detector(cfg: ConfigDict, train_ds, work_dir: Optional[str] = None,
     params = variables['params']
     state = {k: v for k, v in variables.items() if k != 'params'}
 
-    opt_cfg = dict(cfg.get('optimizer') or {'type': 'Adam', 'lr': 1e-3})
-    lr = opt_cfg.get('lr', 1e-3)
-    tx = (optax.sgd(lr, momentum=opt_cfg.get('momentum', 0.9))
-          if opt_cfg.get('type') == 'SGD' else optax.adam(lr))
-    opt_state = tx.init(params)
     epochs = total_epochs or cfg.get('total_epochs') or 1
+    # route through the shared builder so lr_config (the det recipes are
+    # poly decay + warmup, e.g. schedule_sgd_1200e) and
+    # optimizer_config.grad_clip apply here exactly as in the recognizer
+    # loop — not just a flat-lr sgd/adam
+    tx = _make_optimizer(cfg, steps_per_epoch=max(1, len(train_ds) //
+                                                  batch_size),
+                         total_epochs=epochs)
+    opt_state = tx.init(params)
 
     @jax.jit
     def step(params, state, opt_state, img, tgt):
@@ -185,12 +188,13 @@ def train_detector(cfg: ConfigDict, train_ds, work_dir: Optional[str] = None,
     return {'params': params, **state}, history
 
 
-def _make_optimizer(cfg):
-    import optax
-    opt_cfg = dict(cfg.get('optimizer') or {'type': 'Adam', 'lr': 1e-3})
-    lr = opt_cfg.get('lr', 1e-3)
-    return (optax.sgd(lr, momentum=opt_cfg.get('momentum', 0.9))
-            if opt_cfg.get('type') == 'SGD' else optax.adam(lr))
+def _make_optimizer(cfg, steps_per_epoch: int = 1, total_epochs: int = 1):
+    from ..parallel import build_optimizer_from_run_cfg
+    run_cfg = dict(cfg)
+    run_cfg.setdefault('optimizer', {'type': 'Adam', 'lr': 1e-3})
+    tx, _ = build_optimizer_from_run_cfg(run_cfg, steps_per_epoch,
+                                         total_epochs)
+    return tx
 
 
 def _poly_boxes_masks(polys, h, w):
@@ -244,7 +248,9 @@ def _train_maskrcnn(cfg, train_ds, work_dir, total_epochs, log_interval,
               'box': variables['box']['params'],
               'mask': variables['mask']['params']}
     bstats = {k: v for k, v in variables['main'].items() if k != 'params'}
-    tx = _make_optimizer(cfg)
+    epochs = total_epochs or cfg.get('total_epochs') or 1
+    tx = _make_optimizer(cfg, steps_per_epoch=len(train_ds),
+                         total_epochs=epochs)
     opt_state = tx.init(params)
 
     @jax.jit
@@ -263,7 +269,6 @@ def _train_maskrcnn(cfg, train_ds, work_dir, total_epochs, log_interval,
                 loss, losses)
 
     rng = np.random.default_rng(seed)
-    epochs = total_epochs or cfg.get('total_epochs') or 1
     history = []
     for epoch in range(epochs):
         t0 = time.time()
@@ -341,7 +346,9 @@ def _train_drrg(cfg, train_ds, work_dir, total_epochs, log_interval, seed):
                             jnp.zeros((1, 2), jnp.int32))
     params = {'net': net_vars['params'], 'gcn': gcn_vars['params']}
     bstats = {k: v for k, v in net_vars.items() if k != 'params'}
-    tx = _make_optimizer(cfg)
+    epochs = total_epochs or cfg.get('total_epochs') or 1
+    tx = _make_optimizer(cfg, steps_per_epoch=len(train_ds),
+                         total_epochs=epochs)
     opt_state = tx.init(params)
 
     fwd = jax.jit(lambda p, b, img: net.apply({'params': p, **b}, img))
@@ -368,7 +375,6 @@ def _train_drrg(cfg, train_ds, work_dir, total_epochs, log_interval, seed):
                 loss, losses)
 
     rng = np.random.default_rng(seed)
-    epochs = total_epochs or cfg.get('total_epochs') or 1
     history = []
     tgt_keys = ('gt_text_mask', 'gt_center_region_mask', 'gt_mask',
                 'gt_top_height_map', 'gt_bot_height_map', 'gt_sin_map',

@@ -115,9 +115,10 @@ def train_kie(cfg: ConfigDict, train_ds, work_dir: Optional[str] = None,
                               jnp.asarray(sample['texts']))
         params = {'head': head_vars['params']}
         bstats = {}
-    tx = _make_optimizer(cfg)
-    opt_state = tx.init(params)
     epochs = total_epochs or cfg.get('total_epochs') or 1
+    tx = _make_optimizer(cfg, steps_per_epoch=len(train_ds),
+                         total_epochs=epochs)
+    opt_state = tx.init(params)
     num_classes = head.num_classes
 
     @jax.jit
@@ -206,9 +207,11 @@ def train_ner(cfg: ConfigDict, train_ds, work_dir: Optional[str] = None,
     variables = module.init(jax.random.PRNGKey(seed),
                             jnp.zeros((1, T), jnp.int32))
     params = variables['params']
-    tx = _make_optimizer(cfg)
-    opt_state = tx.init(params)
     epochs = total_epochs or cfg.get('total_epochs') or 1
+    tx = _make_optimizer(cfg, steps_per_epoch=max(1, len(train_ds) //
+                                                  batch_size),
+                         total_epochs=epochs)
+    opt_state = tx.init(params)
 
     @jax.jit
     def step(params, opt_state, rng, input_ids, attention_mask, labels):

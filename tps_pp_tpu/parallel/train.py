@@ -162,6 +162,23 @@ def build_optimizer(cfg: Dict, steps_per_epoch: int = 1):
     return tx, schedule
 
 
+def build_optimizer_from_run_cfg(cfg: Dict, steps_per_epoch: int,
+                                 total_epochs: int):
+    """Assemble the optimizer from a whole run config's reference-layout
+    keys — ``optimizer``, ``lr_config`` (poly/step/warmup live here) and
+    ``optimizer_config.grad_clip`` (mmcv keeps clipping in a separate
+    OptimizerHook config) — so every trainer (recognizer, det, KIE, NER)
+    honors schedules uniformly instead of silently running flat-lr."""
+    opt_cfg = dict(cfg.get('optimizer') or dict(type='Adam', lr=1e-4))
+    opt_cfg['lr_config'] = dict(cfg.get('lr_config', {}) or {})
+    # poly decay spans the whole run
+    opt_cfg['lr_config'].setdefault('total_epochs', total_epochs)
+    oc = cfg.get('optimizer_config') or {}
+    if oc.get('grad_clip') and 'grad_clip' not in opt_cfg:
+        opt_cfg['grad_clip'] = dict(oc['grad_clip'])
+    return build_optimizer(opt_cfg, steps_per_epoch=steps_per_epoch)
+
+
 def make_train_step(recognizer, mesh=None, donate: bool = True,
                     remat: str = 'none') -> Callable:
     """Jitted sharded train step over an optional mesh.
