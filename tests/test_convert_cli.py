@@ -1,0 +1,378 @@
+"""One-command released-checkpoint conversion, per family (VERDICT r4 #1).
+
+For every reference release family, build the REAL reference torch modules
+(via ref_shim) with the hyperparameters of the SHIPPED config, torch.save
+the assembled recognizer state_dict exactly as mmcv would, then drive
+
+    python tools/convert_checkpoint.py ckpt.pth out.npz --config CONFIG
+
+as a subprocess and require its round-trip verification to pass (file
+reload through init_recognizer predicts identically). Also proves
+``tools/test.py CONFIG ckpt.pth --eval acc`` accepts a .pth directly
+(CRNN on the toy dataset).
+
+The conversion CLI's own strict-coverage check makes these tests strong:
+every flax param leaf must be written by the checkpoint, so a drifted
+name map fails loudly here.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+from tps_pp_tpu.utils.ref_shim import load_reference
+
+pytestmark = pytest.mark.heavy
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = load_reference()
+
+
+def _convertor_dims(config_path):
+    """Build our convertor for the config to inject the reference decoder's
+    num_classes/start_idx/padding_idx exactly as the reference recognizer
+    does (encode_decode_recognizer.py:67-72)."""
+    from tps_pp_tpu.apis.recognizer import build_recognizer
+    from tps_pp_tpu.config import load_config
+    cfg = load_config(config_path)
+    rec = build_recognizer(cfg['model'])
+    c = rec.label_convertor
+    return dict(num_classes=c.num_classes(), start_idx=c.start_idx,
+                padding_idx=c.padding_idx,
+                max_seq_len=int(cfg['model'].get('max_seq_len', 40)))
+
+
+def _wrap(**modules):
+    w = torch.nn.Module()
+    for k, v in modules.items():
+        setattr(w, k, v)
+    w.eval()
+    return w
+
+
+def _build_crnn(d):
+    return _wrap(
+        backbone=REF.VeryDeepVgg(leaky_relu=False, input_channels=1),
+        decoder=REF.CRNNDecoder(in_channels=512,
+                                num_classes=d['num_classes'],
+                                rnn_flag=True))
+
+
+def _build_crnn_tps(d):
+    m = _build_crnn(d)
+    m.preprocessor = REF.TPSPreprocessor(
+        num_fiducial=20, img_size=(32, 100),
+        rectified_img_size=(32, 100), num_img_channel=1)
+    return m
+
+
+def _build_nrtr_modality(d):
+    return _wrap(
+        backbone=REF.NRTRModalityTransform(),
+        encoder=REF.NRTREncoder(n_layers=12),
+        decoder=REF.NRTRDecoder(n_layers=6, num_classes=d['num_classes'],
+                                start_idx=d['start_idx'],
+                                padding_idx=d['padding_idx'],
+                                max_seq_len=d['max_seq_len']))
+
+
+def _build_nrtr_r31(d):
+    return _wrap(
+        backbone=REF.ResNet31OCR(layers=[1, 2, 5, 3],
+                                 channels=[32, 64, 128, 256, 512, 512],
+                                 stage4_pool_cfg=dict(kernel_size=(2, 1),
+                                                      stride=(2, 1)),
+                                 last_stage_pool=True),
+        encoder=REF.NRTREncoder(),
+        decoder=REF.NRTRDecoder(num_classes=d['num_classes'],
+                                start_idx=d['start_idx'],
+                                padding_idx=d['padding_idx'],
+                                max_seq_len=d['max_seq_len']))
+
+
+def _sar_decoder(cls, d):
+    return cls(num_classes=d['num_classes'], enc_bi_rnn=False,
+               dec_bi_rnn=False, dec_do_rnn=0, pred_dropout=0.1, d_k=512,
+               pred_concat=True, start_idx=d['start_idx'],
+               padding_idx=d['padding_idx'], max_seq_len=d['max_seq_len'])
+
+
+def _build_sar_parallel(d):
+    return _wrap(backbone=REF.ResNet31OCR(),
+                 encoder=REF.SAREncoder(enc_bi_rnn=False, enc_do_rnn=0.1),
+                 decoder=_sar_decoder(REF.ParallelSARDecoder, d))
+
+
+def _build_sar_sequential(d):
+    return _wrap(backbone=REF.ResNet31OCR(),
+                 encoder=REF.SAREncoder(enc_bi_rnn=False, enc_do_rnn=0.1),
+                 decoder=_sar_decoder(REF.SequentialSARDecoder, d))
+
+
+def _build_satrn_small(d):
+    return _wrap(
+        backbone=REF.ShallowCNN(input_channels=3, hidden_dim=256),
+        encoder=REF.SatrnEncoder(n_layers=6, n_head=8, d_k=32, d_v=32,
+                                 d_model=256, n_position=100, d_inner=1024,
+                                 dropout=0.1),
+        decoder=REF.NRTRDecoder(n_layers=6, d_embedding=256, n_head=8,
+                                d_model=256, d_inner=1024, d_k=32, d_v=32,
+                                num_classes=d['num_classes'],
+                                start_idx=d['start_idx'],
+                                padding_idx=d['padding_idx'],
+                                max_seq_len=d['max_seq_len']))
+
+
+def _build_robust_scanner(d):
+    return _wrap(
+        backbone=REF.ResNet31OCR(),
+        encoder=REF.ChannelReductionEncoder(in_channels=512,
+                                            out_channels=128),
+        decoder=REF.RobustScannerDecoder(
+            dim_input=512, dim_model=128,
+            hybrid_decoder=dict(type='SequenceAttentionDecoder'),
+            position_decoder=dict(type='PositionAttentionDecoder'),
+            num_classes=d['num_classes'], start_idx=d['start_idx'],
+            padding_idx=d['padding_idx'], max_seq_len=d['max_seq_len']))
+
+
+def _build_abinet(d):
+    # the shipped config hardcodes num_chars=37 in every head (DICT36+EOS)
+    # rather than inheriting from the convertor — mirror that
+    vision = torch.nn.Module()   # ABIVisionModel layout (attr names only)
+    vision.encoder = REF.TransformerEncoder(n_layers=3, n_head=8,
+                                            d_model=512, d_inner=2048,
+                                            dropout=0.1, max_len=256)
+    vision.decoder = REF.ABIVisionDecoder(in_channels=512, num_channels=64,
+                                          attn_height=8, attn_width=32,
+                                          num_chars=37, max_seq_len=26)
+    return _wrap(
+        backbone=REF.ResNetABI(),
+        encoder=vision,
+        decoder=REF.ABILanguageDecoder(d_model=512, n_head=8, d_inner=2048,
+                                       n_layers=4, dropout=0.1,
+                                       detach_tokens=True,
+                                       use_self_attn=False,
+                                       pad_idx=36, num_chars=37,
+                                       max_seq_len=26),
+        fuser=REF.ABIFuser(d_model=512, num_chars=37, max_seq_len=26))
+
+
+FAMILIES = [
+    ('crnn', 'configs/textrecog/crnn/crnn_academic_dataset.py',
+     _build_crnn),
+    ('crnn_tps', 'configs/textrecog/tps/crnn_tps_academic_dataset.py',
+     _build_crnn_tps),
+    ('nrtr_modality',
+     'configs/textrecog/nrtr/nrtr_modality_transform_academic.py',
+     _build_nrtr_modality),
+    ('nrtr_r31', 'configs/textrecog/nrtr/nrtr_r31_1by16_1by8_academic.py',
+     _build_nrtr_r31),
+    ('sar_parallel',
+     'configs/textrecog/sar/sar_r31_parallel_decoder_academic.py',
+     _build_sar_parallel),
+    ('sar_sequential',
+     'configs/textrecog/sar/sar_r31_sequential_decoder_academic.py',
+     _build_sar_sequential),
+    ('satrn_small', 'configs/textrecog/satrn/satrn_small.py',
+     _build_satrn_small),
+    ('robust_scanner',
+     'configs/textrecog/robust_scanner/robustscanner_r31_academic.py',
+     _build_robust_scanner),
+    ('abinet', 'configs/textrecog/abinet/abinet_academic.py',
+     _build_abinet),
+]
+
+
+def _save_mmcv_ckpt(model, path):
+    torch.save({'state_dict': model.state_dict(),
+                'meta': {'mmocr_version': '0.4.0'}}, path)
+
+
+def _run(cmd, **kw):
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    return subprocess.run([sys.executable] + cmd, cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=1500,
+                          **kw)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('name,config,builder',
+                         FAMILIES, ids=[f[0] for f in FAMILIES])
+def test_convert_checkpoint_cli(name, config, builder, tmp_path):
+    torch.manual_seed(11)
+    dims = _convertor_dims(config)
+    model = builder(dims)
+    pth = tmp_path / f'{name}.pth'
+    _save_mmcv_ckpt(model, pth)
+
+    out = tmp_path / f'{name}.npz'
+    r = _run(['tools/convert_checkpoint.py', str(pth), str(out),
+              '--config', config])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert 'round-trip verified' in r.stdout, r.stdout + r.stderr
+    assert out.exists()
+
+
+@pytest.mark.slow
+def test_pth_through_test_cli(tmp_path):
+    """End-to-end: tools/test.py CONFIG ckpt.pth --eval acc on a torch-
+    saved checkpoint (the reference release workflow, README.md:61-65)."""
+    config = 'configs/textrecog/crnn/crnn_toy_dataset.py'
+    torch.manual_seed(3)
+    dims = _convertor_dims(config)
+    model = _build_crnn(dims)
+    pth = tmp_path / 'crnn_toy.pth'
+    _save_mmcv_ckpt(model, pth)
+    r = _run(['tools/test.py', config, str(pth), '--eval', 'acc'])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert 'word_acc' in (r.stdout + r.stderr)
+
+
+@pytest.mark.slow
+def test_orbax_output_roundtrip(tmp_path):
+    """The CLI's orbax output path: convert to a directory checkpoint and
+    reload through init_recognizer."""
+    config = 'configs/textrecog/crnn/crnn_academic_dataset.py'
+    torch.manual_seed(5)
+    model = _build_crnn(_convertor_dims(config))
+    pth = tmp_path / 'crnn.pth'
+    _save_mmcv_ckpt(model, pth)
+    out = tmp_path / 'ckpt_dir'
+    r = _run(['tools/convert_checkpoint.py', str(pth), str(out),
+              '--config', config])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert 'round-trip verified' in r.stdout
+    assert (out / '0').exists()   # orbax step-0 weights
+
+
+def test_sequential_sar_alias_greedy_parity():
+    """VERDICT r4 weak #3: load a torch SequentialSARDecoder state_dict
+    through the alias mapping and assert greedy-decode equality vs the
+    executed reference module — the docstring equivalence claim
+    (models/decoders/sar.py) as a test."""
+    import jax
+    import jax.numpy as jnp
+    from tps_pp_tpu.models.decoders.sar import SequentialSARDecoder
+    from tps_pp_tpu.utils.torch_convert import (convert_state_dict,
+                                                filter_rules_to_state,
+                                                merge_flat,
+                                                sequential_sar_rules)
+
+    torch.manual_seed(21)
+    C, PAD = 37, 36
+    ref_d = REF.SequentialSARDecoder(num_classes=C, padding_idx=PAD,
+                                     start_idx=0, max_seq_len=8,
+                                     pred_concat=True, d_k=64)
+    ref_d.eval()
+    ref_d.train_mode = False
+    feat = torch.randn(3, 512, 4, 16)
+    hol = torch.randn(3, 512)
+    metas = [{'valid_ratio': 0.5}, {'valid_ratio': 0.8},
+             {'valid_ratio': 1.0}]
+    with torch.no_grad():
+        ref_probs = ref_d.forward_test(feat, hol, metas)
+
+    dec = SequentialSARDecoder(num_classes=C, padding_idx=PAD, start_idx=0,
+                               max_seq_len=8, pred_concat=True, d_k=64,
+                               dtype=jnp.float32)
+    fj = jnp.asarray(np.transpose(feat.numpy(), (0, 2, 3, 1)))
+    vr = jnp.asarray([0.5, 0.8, 1.0], jnp.float32)
+    hj = jnp.asarray(hol.numpy())
+    tgt = jnp.zeros((3, 8), jnp.int32)
+    d_vars = dec.init(jax.random.PRNGKey(0), fj, hj, targets=tgt,
+                      valid_ratio=vr)
+
+    sd = {f'decoder.{k}': v.numpy() for k, v in ref_d.state_dict().items()}
+    flat = convert_state_dict(
+        sd, filter_rules_to_state(sequential_sar_rules(), sd))
+    sub = {t: {p[len('decoder/'):]: a for p, a in e.items()}
+           for t, e in flat.items()}
+    d_vars = merge_flat(d_vars, sub)
+
+    carry, static = dec.apply(d_vars, fj, hj, vr, method='decode_init')
+    token = jnp.full((3,), 0, jnp.int32)   # start_idx
+    probs = []
+    for t in range(8):
+        p, carry = dec.apply(d_vars, token, t, carry, static,
+                             method='decode_step')
+        probs.append(np.asarray(p))
+        token = jnp.argmax(p, axis=-1).astype(jnp.int32)
+    got = np.stack(probs, axis=1)
+    # greedy sequences identical, not merely close
+    np.testing.assert_array_equal(got.argmax(-1),
+                                  ref_probs.numpy().argmax(-1))
+    np.testing.assert_allclose(got, ref_probs.numpy(), atol=2e-4, rtol=1e-3)
+
+    # teacher-forced training path carries the same c := h recurrence
+    tgt = torch.tensor([[0, 5, 9, 2, PAD, PAD, PAD, PAD],
+                        [0, 7, 3, 3, 4, 6, 2, PAD],
+                        [0, 1, 2, 3, 4, 5, 6, 7]], dtype=torch.long)
+    ref_d.train_mode = True
+    with torch.no_grad():
+        ref_tf = ref_d.forward_train(feat, hol, {'padded_targets': tgt},
+                                     metas)
+    got_tf = dec.apply(d_vars, fj, hj, targets=jnp.asarray(tgt.numpy()),
+                       valid_ratio=vr)
+    np.testing.assert_allclose(np.asarray(got_tf), ref_tf.numpy(),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_beam_search_reference_parity():
+    """VERDICT r4 weak #4: ParallelSARDecoderWithBS vs the EXECUTED
+    reference beam search (sar_decoder_with_bs.py, batch-1 priority-queue)
+    — same best-beam token sequence and per-step scores, converted weights."""
+    import jax
+    import jax.numpy as jnp
+    from tps_pp_tpu.models.decoders.base import beam_decode
+    from tps_pp_tpu.models.decoders.sar import ParallelSARDecoderWithBS
+    from tps_pp_tpu.utils.torch_convert import (convert_state_dict,
+                                                filter_rules_to_state,
+                                                merge_flat, sar_rules)
+
+    C, PAD, T, W = 12, 11, 6, 3
+    for seed in (31, 32, 33):
+        torch.manual_seed(seed)
+        ref_d = REF.ParallelSARDecoderWithBS(
+            beam_width=W, num_classes=C, padding_idx=PAD, start_idx=0,
+            max_seq_len=T, pred_concat=True, d_k=16, d_model=32, d_enc=32)
+        ref_d.eval()
+        ref_d.train_mode = False
+        feat = torch.randn(1, 32, 4, 16)
+        hol = torch.randn(1, 32)
+        metas = [{'valid_ratio': 0.7}]
+        with torch.no_grad():
+            ref_out = ref_d.forward_test(feat, hol, metas).numpy()
+
+        dec = ParallelSARDecoderWithBS(
+            beam_width=W, num_classes=C, padding_idx=PAD, start_idx=0,
+            max_seq_len=T, pred_concat=True, d_k=16, d_model=32, d_enc=32,
+            dtype=jnp.float32)
+        fj = jnp.asarray(np.transpose(feat.numpy(), (0, 2, 3, 1)))
+        vr = jnp.asarray([0.7], jnp.float32)
+        hj = jnp.asarray(hol.numpy())
+        tgt = jnp.zeros((1, T), jnp.int32)
+        d_vars = dec.init(jax.random.PRNGKey(0), fj, hj, targets=tgt,
+                          valid_ratio=vr)
+        sd = {f'decoder.{k}': v.numpy()
+              for k, v in ref_d.state_dict().items()}
+        flat = convert_state_dict(sd,
+                                  filter_rules_to_state(sar_rules(), sd))
+        sub = {t: {p[len('decoder/'):]: a for p, a in e.items()}
+               for t, e in flat.items()}
+        d_vars = merge_flat(d_vars, sub)
+
+        def apply_method(method, *args):
+            return dec.apply(d_vars, *args, method=method)
+
+        got = np.asarray(beam_decode(apply_method, fj, hj, vr,
+                                     max_seq_len=T, start_idx=0,
+                                     beam_width=W))
+        # the reference writes each step's softmax score at the winning
+        # token index and zeros elsewhere; compare sequence + scores
+        np.testing.assert_array_equal(got.argmax(-1), ref_out.argmax(-1))
+        np.testing.assert_allclose(got.max(-1), ref_out.max(-1),
+                                   atol=2e-5, rtol=1e-4)

@@ -22,8 +22,11 @@ def init_recognizer(config: Union[str, Dict], checkpoint: Optional[str] = None,
                     rng_seed: int = 0, input_shape=None):
     """Build a recognizer (+ fresh or checkpointed variables).
 
-    Returns (recognizer, variables). ``checkpoint`` may be an orbax dir or a
-    .npz from utils.checkpoint.save_variables.
+    Returns (recognizer, variables). ``checkpoint`` may be an orbax dir, a
+    .npz from utils.checkpoint.save_variables, or a torch ``.pth`` —
+    reference released checkpoints convert on the fly via the auto rule
+    table (utils.torch_convert.rules_for_config), matching the reference
+    ``init_detector`` one-call recipe (apis/inference.py:19-56).
     """
     import jax
 
@@ -45,7 +48,11 @@ def init_recognizer(config: Union[str, Dict], checkpoint: Optional[str] = None,
     variables = rec.init_variables(jax.random.PRNGKey(rng_seed), input_shape)
     if checkpoint:
         from ..utils.checkpoint import CheckpointManager, load_variables
-        if checkpoint.endswith('.npz'):
+        if checkpoint.endswith(('.pth', '.pt')):
+            from ..utils.torch_convert import convert_checkpoint, load_pth
+            variables = convert_checkpoint(load_pth(checkpoint), rec,
+                                           variables)
+        elif checkpoint.endswith('.npz'):
             variables = load_variables(checkpoint, variables)
         else:
             variables = CheckpointManager(checkpoint).load_weights(variables)

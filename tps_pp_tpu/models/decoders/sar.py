@@ -141,12 +141,50 @@ class ParallelSARDecoder(nn.Module):
 
 @DECODERS.register_module()
 class SequentialSARDecoder(ParallelSARDecoder):
-    """Reference ``SequentialSARDecoder`` (sar_decoder.py:259-478) runs the
-    same 2D-attention decode with per-step LSTMCells; our parallel decoder's
-    AR path already IS the carried-state sequential form, so the behaviors
-    coincide (the reference classes differ mainly in parameter naming:
-    LSTMCell pairs vs a 2-layer LSTM, and 1x1-conv vs linear attention
-    projections — mapped in the checkpoint converter)."""
+    """Reference ``SequentialSARDecoder`` (sar_decoder.py:269-478): the same
+    2D-attention decode with per-step LSTMCells — plus the reference's
+    cell-state quirk, which parameter-name mapping alone cannot reproduce:
+    ``_2d_attention`` returns ``(y, hx1, hx1, hx2, hx2)`` (sar_decoder.py:
+    391), so the LSTM CELL state is overwritten with the HIDDEN state after
+    every step (only the holistic init step at :432-435 keeps a true cell
+    state). Checkpoints of this class were trained under that recurrence,
+    so we replicate it exactly in both the teacher-forced and AR paths;
+    greedy parity vs the executed reference is tested in
+    tests/test_convert_cli.py. Parameter containers map losslessly
+    (utils/torch_convert.sequential_sar_rules): LSTMCell pairs <-> one
+    layer of nn.LSTM share weight names/shapes, and the reference's 1x1
+    Conv2d attention projections are Denses over channels."""
+
+    def __call__(self, feat, out_enc, targets=None, valid_ratio=None,
+                 train: bool = False):
+        if self.is_initializing():
+            # create the rnn0/rnn1 scan params (same shapes the parallel
+            # LSTM uses); _lstm_cell reads them directly afterwards
+            self.rnn0(out_enc[:, None, :])
+            self.rnn1(out_enc[:, None, :])
+        emb = self.embedding(targets)                     # (N, T, E)
+        key = self.conv3x3_1(feat)
+        N = out_enc.shape[0]
+        z = jnp.zeros((N, self._enc_size), self.dtype)
+        # holistic init step (i == -1): true cell states kept
+        h0, c0 = self._lstm_cell(self.rnn0, out_enc, z, z)
+        h1, c1 = self._lstm_cell(self.rnn1, h0, z, z)
+        outs = []
+        for t in range(targets.shape[1]):
+            h0, c0 = self._lstm_cell(self.rnn0, emb[:, t], h0, c0)
+            h1, c1 = self._lstm_cell(self.rnn1, h0, h1, c1)
+            y = h1[:, None, :]
+            glimpse = self._attend(y, feat, valid_ratio, key=key)
+            outs.append(self._predict(y, glimpse, out_enc, train)[:, 0])
+            # the c := h quirk — applied to the carried state, as in the
+            # reference's `return y, hx1, hx1, hx2, hx2`
+            c0, c1 = h0, h1
+        return jnp.stack(outs, axis=1)
+
+    def decode_step(self, token, t, carry, static):
+        probs, (h0, _, h1, _) = ParallelSARDecoder.decode_step(
+            self, token, t, carry, static)
+        return probs, (h0, h0, h1, h1)   # c := h quirk
 
 
 @DECODERS.register_module()

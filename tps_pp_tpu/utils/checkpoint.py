@@ -87,6 +87,21 @@ class CheckpointManager:
             opt_state=restored['opt_state'],
             step=jax.numpy.asarray(restored['step']))
 
+    def save_weights(self, variables, step: int = 0,
+                     meta: Optional[Dict] = None):
+        """Weights-only save (params + batch_stats, no optimizer) — the
+        artifact tools/convert_checkpoint.py publishes; readable by
+        ``load_weights`` / init_recognizer / --load-from."""
+        ocp = _ocp()
+        payload = {
+            'params': variables['params'],
+            'batch_stats': variables.get('batch_stats', {}),
+        }
+        if meta:
+            payload['meta'] = meta
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+
     def load_weights(self, variables, step: Optional[int] = None):
         """Weights-only load (reference --load-from semantics)."""
         step = step if step is not None else self.latest_step()

@@ -330,6 +330,8 @@ def _install_mmocr_skeleton():
             isinstance(item, expected_type) for item in seq)
 
     utils.is_type_list = is_type_list
+    utils.equal_len = lambda *argv: all(len(arg) == len(argv[0])
+                                        for arg in argv)
 
     # dead fork imports (SURVEY §2.11): inert placeholders so module-level
     # `from ... import X` succeeds; instantiating any of them is a test bug
@@ -408,8 +410,22 @@ def load_reference():
                    'mmocr.models.textrecog.backbones.tps_pp.tps_pp')
     rv2 = _load('mmocr/models/textrecog/backbones/resnet_v2_large.py',
                 'mmocr.models.textrecog.backbones.resnet_v2_large')
+    rabi = _load('mmocr/models/textrecog/backbones/resnet_abi.py',
+                 'mmocr.models.textrecog.backbones.resnet_abi')
     vgg = _load('mmocr/models/textrecog/backbones/very_deep_vgg.py',
                 'mmocr.models.textrecog.backbones.very_deep_vgg')
+    r31 = _load('mmocr/models/textrecog/backbones/resnet31_ocr.py',
+                'mmocr.models.textrecog.backbones.resnet31_ocr')
+    shallow = _load('mmocr/models/textrecog/backbones/shallow_cnn.py',
+                    'mmocr.models.textrecog.backbones.shallow_cnn')
+    modality = _load(
+        'mmocr/models/textrecog/backbones/nrtr_modality_transformer.py',
+        'mmocr.models.textrecog.backbones.nrtr_modality_transformer')
+    _load('mmocr/models/textrecog/preprocessor/base_preprocessor.py',
+          'mmocr.models.textrecog.preprocessor.base_preprocessor')
+    tps_pre = _load(
+        'mmocr/models/textrecog/preprocessor/tps_preprocessor.py',
+        'mmocr.models.textrecog.preprocessor.tps_preprocessor')
 
     _load('mmocr/models/textrecog/encoders/base_encoder.py',
           'mmocr.models.textrecog.encoders.base_encoder')
@@ -432,6 +448,12 @@ def load_reference():
                  'mmocr.models.textrecog.decoders.crnn_decoder')
     sar_dec = _load('mmocr/models/textrecog/decoders/sar_decoder.py',
                     'mmocr.models.textrecog.decoders.sar_decoder')
+    # sar_decoder_with_bs does `from . import ParallelSARDecoder` — expose
+    # it on the decoders package (whose real __init__ is never executed)
+    _module('mmocr.models.textrecog.decoders').ParallelSARDecoder = \
+        sar_dec.ParallelSARDecoder
+    sar_bs = _load('mmocr/models/textrecog/decoders/sar_decoder_with_bs.py',
+                   'mmocr.models.textrecog.decoders.sar_decoder_with_bs')
     for extra in ('dot_product_attention_layer', 'position_aware_layer',
                   'robust_scanner_fusion_layer'):
         m = _load(f'mmocr/models/textrecog/layers/{extra}.py',
@@ -479,12 +501,19 @@ def load_reference():
         PositionalEncoding=tm.PositionalEncoding,
         ResNetABI_v2_large=rv2.ResNetABI_v2_large,
         VeryDeepVgg=vgg.VeryDeepVgg,
+        ResNet31OCR=r31.ResNet31OCR,
+        ShallowCNN=shallow.ShallowCNN,
+        NRTRModalityTransform=modality.NRTRModalityTransform,
+        TPSPreprocessor=tps_pre.TPSPreprocessor,
         NRTREncoder=enc.NRTREncoder,
         NRTRDecoder=dec.NRTRDecoder,
         CRNNDecoder=crnn.CRNNDecoder,
         BidirectionalLSTM=ll.BidirectionalLSTM,
         SAREncoder=sar_enc.SAREncoder,
         ParallelSARDecoder=sar_dec.ParallelSARDecoder,
+        SequentialSARDecoder=sar_dec.SequentialSARDecoder,
+        ParallelSARDecoderWithBS=sar_bs.ParallelSARDecoderWithBS,
+        ResNetABI=rabi.ResNetABI,
         SatrnEncoder=satrn_enc.SatrnEncoder,
         SequenceAttentionDecoder=seq_dec.SequenceAttentionDecoder,
         PositionAttentionDecoder=pos_dec.PositionAttentionDecoder,
@@ -584,13 +613,30 @@ def _install_shapely_shim():
 _eval_loaded = None
 
 
+def _install_rapidfuzz_shim():
+    """rapidfuzz.string_metric.levenshtein backed by the repo's own C++
+    levenshtein (native.py) — ocr_metric.py:5,65 is its only reference
+    call site, with the plain unweighted signature."""
+    if 'rapidfuzz' in sys.modules and not getattr(
+            sys.modules['rapidfuzz'], '__shim__', False):
+        return
+    from ..native import levenshtein
+    rf = _module('rapidfuzz')
+    rf.__shim__ = True
+    sm = _module('rapidfuzz.string_metric')
+    sm.levenshtein = lambda a, b: levenshtein(a, b)
+    rf.string_metric = sm
+
+
 def load_reference_eval():
-    """Load the reference evaluation modules (hmean_ic13 + helpers) with the
-    shapely shim installed; returns a namespace. Idempotent."""
+    """Load the reference evaluation modules (hmean_ic13 + ocr_metric +
+    helpers) with the shapely/rapidfuzz shims installed; returns a
+    namespace. Idempotent."""
     global _eval_loaded
     if _eval_loaded is not None:
         return _eval_loaded
     _install_shapely_shim()
+    _install_rapidfuzz_shim()
     utils_mod = _module('mmocr.utils')
     ca = _load('mmocr/utils/check_argument.py', 'mmocr.utils.check_argument')
     for name in ('is_3dlist', 'is_2dlist', 'is_type_list', 'is_none_or_type',
@@ -601,9 +647,16 @@ def load_reference_eval():
                      'mmocr.core.evaluation.utils')
     ic13 = _load('mmocr/core/evaluation/hmean_ic13.py',
                  'mmocr.core.evaluation.hmean_ic13')
+    ocr_metric = _load('mmocr/core/evaluation/ocr_metric.py',
+                       'mmocr.core.evaluation.ocr_metric')
+    hmean_iou = _load('mmocr/core/evaluation/hmean_iou.py',
+                      'mmocr.core.evaluation.hmean_iou')
     ns = types.SimpleNamespace(eval_hmean_ic13=ic13.eval_hmean_ic13,
+                               eval_hmean_iou=hmean_iou.eval_hmean_iou,
                                compute_recall_precision=(
                                    ic13.compute_recall_precision),
-                               eval_utils=ev_utils)
+                               eval_utils=ev_utils,
+                               eval_ocr_metric=ocr_metric.eval_ocr_metric,
+                               count_matches=ocr_metric.count_matches)
     _eval_loaded = ns
     return ns

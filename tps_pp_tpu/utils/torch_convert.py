@@ -353,6 +353,25 @@ def sar_rules(n_layers=2):
     return rules
 
 
+def sequential_sar_rules():
+    """SequentialSARDecoder (reference sar_decoder.py:269-347) -> our
+    ParallelSARDecoder-alias params. The reference sequential class stores
+    the SAME math under different parameter containers: LSTMCell pairs
+    (rnn_decoder_layer1/2) instead of a 2-layer nn.LSTM, and 1x1 Conv2d
+    attention projections (conv1x1_1/conv1x1_2) instead of Linears —
+    torch LSTMCell and one layer of nn.LSTM share weight names/shapes, and
+    a 1x1 conv IS a dense over channels, so both map losslessly."""
+    return [
+        ('decoder.conv1x1_1', 'decoder/conv1x1_1', 'conv1x1_as_dense'),
+        ('decoder.conv3x3_1', 'decoder/conv3x3_1', 'conv'),
+        ('decoder.conv1x1_2', 'decoder/conv1x1_2', 'conv1x1_as_dense'),
+        ('decoder.rnn_decoder_layer1', 'decoder/rnn0', 'lstm_cell'),
+        ('decoder.rnn_decoder_layer2', 'decoder/rnn1', 'lstm_cell'),
+        ('decoder.embedding', 'decoder/embedding', 'embed'),
+        ('decoder.prediction', 'decoder/prediction', 'linear'),
+    ]
+
+
 def satrn_rules(n_layers=12, prefix='encoder', fp='encoder'):
     """SatrnEncoder (reference satrn_encoder.py:13-85 + satrn_layers.py:
     Adaptive2DPositionalEncoding scale convs, SatrnEncoderLayer attn +
@@ -432,14 +451,24 @@ def _mmcv_btl_rules(tp, fp):
     ]
 
 
-def abinet_rules(n_enc_layers=3, n_lang_layers=4):
+def abinet_rules(n_enc_layers=3, n_lang_layers=4,
+                 enc_tp='encoder.transformer', enc_fp='encoder/layer',
+                 vis_tp='vision', vis_fp='vision',
+                 lang_tp='language', lang_fp='language',
+                 fuser_tp='fuser', fuser_fp='fuser'):
     """ABINet: TransformerEncoder (reference encoders/transformer.py:12-82)
     + ABIVisionDecoder (abinet_vision_decoder.py) + ABILanguageDecoder
-    (abinet_language_decoder.py) + ABIFuser (abi_fuser.py)."""
+    (abinet_language_decoder.py) + ABIFuser (abi_fuser.py).
+
+    Default prefixes address standalone components (the parity tests);
+    a full released ABINet recognizer checkpoint nests the vision model
+    (reference abinet.py:58-91 + abinet_vision_model.py:26-27) — use
+    enc_tp='encoder.encoder.transformer', vis_tp='encoder.decoder',
+    lang_tp='decoder' (rules_for_config does)."""
     rules = []
     for i in range(n_enc_layers):
-        for tp, fp, kind in _mmcv_btl_rules(f'encoder.transformer.{i}',
-                                            f'encoder/layer{i}'):
+        for tp, fp, kind in _mmcv_btl_rules(f'{enc_tp}.{i}',
+                                            f'{enc_fp}{i}'):
             fp = (fp.replace('@attn', '/attn')
                   .replace('@norm1', '/norm1').replace('@norm2', '/norm2')
                   .replace('@ffn1', '/ffn_fc1').replace('@ffn2', '/ffn_fc2'))
@@ -447,34 +476,250 @@ def abinet_rules(n_enc_layers=3, n_lang_layers=4):
     # vision decoder mini-UNet + projections
     for i in range(4):
         rules += [
-            (f'vision.k_encoder.{i}.conv', f'vision/k_enc{i}/conv',
+            (f'{vis_tp}.k_encoder.{i}.conv', f'{vis_fp}/k_enc{i}/conv',
              'conv_nobias'),
-            (f'vision.k_encoder.{i}.bn', f'vision/k_enc{i}/bn', 'bn'),
-            (f'vision.k_decoder.{i}.1.conv', f'vision/k_dec{i}/conv',
+            (f'{vis_tp}.k_encoder.{i}.bn', f'{vis_fp}/k_enc{i}/bn', 'bn'),
+            (f'{vis_tp}.k_decoder.{i}.1.conv', f'{vis_fp}/k_dec{i}/conv',
              'conv_nobias'),
-            (f'vision.k_decoder.{i}.1.bn', f'vision/k_dec{i}/bn', 'bn'),
+            (f'{vis_tp}.k_decoder.{i}.1.bn', f'{vis_fp}/k_dec{i}/bn', 'bn'),
         ]
     rules += [
-        ('vision.project', 'vision/project', 'linear'),
-        ('vision.cls', 'vision/cls', 'linear'),
+        (f'{vis_tp}.project', f'{vis_fp}/project', 'linear'),
+        (f'{vis_tp}.cls', f'{vis_fp}/cls', 'linear'),
     ]
     # language decoder
-    rules.append(('language.proj', 'language/proj', 'linear_nobias'))
+    rules.append((f'{lang_tp}.proj', f'{lang_fp}/proj', 'linear_nobias'))
     for i in range(n_lang_layers):
-        for tp, fp, kind in _mmcv_btl_rules(f'language.decoder_layers.{i}',
-                                            f'language'):
+        for tp, fp, kind in _mmcv_btl_rules(f'{lang_tp}.decoder_layers.{i}',
+                                            lang_fp):
             fp = (fp.replace('@attn', f'/cross{i}')
                   .replace('@norm1', f'/norm{i}_1')
                   .replace('@norm2', f'/norm{i}_2')
                   .replace('@ffn1', f'/ffn{i}_fc1')
                   .replace('@ffn2', f'/ffn{i}_fc2'))
             rules.append((tp, fp, kind))
-    rules.append(('language.cls', 'language/cls', 'linear'))
+    rules.append((f'{lang_tp}.cls', f'{lang_fp}/cls', 'linear'))
     rules += [
-        ('fuser.w_att', 'fuser/w_att', 'linear'),
-        ('fuser.cls', 'fuser/cls', 'linear'),
+        (f'{fuser_tp}.w_att', f'{fuser_fp}/w_att', 'linear'),
+        (f'{fuser_tp}.cls', f'{fuser_fp}/cls', 'linear'),
     ]
     return rules
+
+
+def resnet31_rules(prefix: str = 'backbone', fp: str = 'backbone',
+                   layers=(1, 2, 5, 3)) -> List[Tuple[str, str, str]]:
+    """ResNet31OCR (reference resnet31_ocr.py:46-93 names conv1_1/bn1_1,
+    conv1_2/bn1_2, block{2..5}.{b}.*, conv{2..5}/bn{2..5}) — the NRTR/SAR/
+    SATRN-alt/RobustScanner/seg standard backbone."""
+    rules = [
+        (f'{prefix}.conv1_1', f'{fp}/stem1/conv', 'conv'),
+        (f'{prefix}.bn1_1', f'{fp}/stem1/bn', 'bn'),
+        (f'{prefix}.conv1_2', f'{fp}/stem2/conv', 'conv'),
+        (f'{prefix}.bn1_2', f'{fp}/stem2/bn', 'bn'),
+    ]
+    for si, blocks in enumerate(layers):
+        k = si + 2
+        for b in range(blocks):
+            tp, bp = f'{prefix}.block{k}.{b}', f'{fp}/block{k}/block{b}'
+            rules += [
+                (f'{tp}.conv1', f'{bp}/conv1', 'conv_nobias'),
+                (f'{tp}.bn1', f'{bp}/bn1', 'bn'),
+                (f'{tp}.conv2', f'{bp}/conv2', 'conv_nobias'),
+                (f'{tp}.bn2', f'{bp}/bn2', 'bn'),
+                # channel-change blocks carry a 1x1 downsample
+                (f'{tp}.downsample.0', f'{bp}/downsample_conv',
+                 'conv_nobias'),
+                (f'{tp}.downsample.1', f'{bp}/downsample_bn', 'bn'),
+            ]
+        rules += [
+            (f'{prefix}.conv{k}', f'{fp}/conv{k}/conv', 'conv'),
+            (f'{prefix}.bn{k}', f'{fp}/conv{k}/bn', 'bn'),
+        ]
+    return rules
+
+
+def nrtr_modality_rules(prefix: str = 'backbone',
+                        fp: str = 'backbone') -> List[Tuple[str, str, str]]:
+    """NRTRModalityTransform (reference nrtr_modality_transformer.py:19-37:
+    conv_1/bn_1/conv_2/bn_2/linear)."""
+    return [
+        (f'{prefix}.conv_1', f'{fp}/conv_1', 'conv'),
+        (f'{prefix}.bn_1', f'{fp}/bn_1', 'bn'),
+        (f'{prefix}.conv_2', f'{fp}/conv_2', 'conv'),
+        (f'{prefix}.bn_2', f'{fp}/bn_2', 'bn'),
+        (f'{prefix}.linear', f'{fp}/linear', 'linear'),
+    ]
+
+
+def shallow_cnn_rules(prefix: str = 'backbone',
+                      fp: str = 'backbone') -> List[Tuple[str, str, str]]:
+    """ShallowCNN (reference shallow_cnn.py:34-52: two mmcv ConvModules
+    conv1/conv2, each conv+bn)."""
+    return [
+        (f'{prefix}.conv1.conv', f'{fp}/conv1', 'conv_nobias'),
+        (f'{prefix}.conv1.bn', f'{fp}/bn1', 'bn'),
+        (f'{prefix}.conv2.conv', f'{fp}/conv2', 'conv_nobias'),
+        (f'{prefix}.conv2.bn', f'{fp}/bn2', 'bn'),
+    ]
+
+
+def tps_preprocessor_rules(prefix: str = 'preprocessor',
+                           fp: str = 'preprocessor'
+                           ) -> List[Tuple[str, str, str]]:
+    """Classic RARE TPS-STN (reference tps_preprocessor.py:101-128:
+    LocalizationNetwork.conv Sequential [conv,bn,relu,pool]x3+[conv,bn,
+    relu,adaptivepool] + localization_fc1.0 + localization_fc2; the
+    GridGenerator holds only static buffers — nothing to convert)."""
+    ln = f'{prefix}.LocalizationNetwork'
+    fl = f'{fp}/localization'
+    rules = []
+    for i, idx in enumerate((0, 4, 8, 12)):
+        rules += [
+            (f'{ln}.conv.{idx}', f'{fl}/conv{i}', 'conv_nobias'),
+            (f'{ln}.conv.{idx + 1}', f'{fl}/bn{i}', 'bn'),
+        ]
+    rules += [
+        (f'{ln}.localization_fc1.0', f'{fl}/fc1', 'linear'),
+        (f'{ln}.localization_fc2', f'{fl}/fc2', 'linear'),
+    ]
+    return rules
+
+
+def nrtr_decoder_rules(n_dec: int = 6) -> List[Tuple[str, str, str]]:
+    """NRTRDecoder/TFDecoder alone (reference nrtr_decoder.py:14-129)."""
+    rules = []
+    for i in range(n_dec):
+        rules += _tf_decoder_layer_rules(f'decoder.layer_stack.{i}',
+                                         f'decoder/layer_stack_{i}')
+    rules += [
+        ('decoder.trg_word_emb', 'decoder/trg_word_emb', 'embed'),
+        ('decoder.layer_norm', 'decoder/layer_norm', 'ln'),
+        ('decoder.classifier', 'decoder/classifier', 'linear'),
+    ]
+    return rules
+
+
+def rules_for_config(model_cfg: Dict) -> List[Tuple[str, str, str]]:
+    """Auto-assemble the complete rule table for a reference model config
+    (the one-command conversion path: tools/convert_checkpoint.py and
+    init_recognizer(checkpoint='*.pth')). Components are keyed on the
+    config's reference ``type=`` names; layer counts and archs are read
+    from the config so satrn_small (6 layers) vs satrn_academic (12)
+    resolve correctly. Composable families:
+
+      backbone: VeryDeepVgg · ResNet31OCR · ResNetABI[_v2_large] ·
+                NRTRModalityTransform · ShallowCNN
+      rectifier: tpsnet (TPS_PP) · preprocessor (TPSPreprocessor)
+      heads: NRTR/TFDecoder transformer · CRNN BiLSTM · SAR (parallel/
+             sequential/beam-search aliases) · RobustScanner · ABINet
+
+    Use ``filter_rules_to_state`` on the result — optional submodules
+    (downsamples, preprocessors) drop out against the real state_dict.
+    """
+    def _t(key):
+        sub = model_cfg.get(key) or {}
+        return sub.get('type') if isinstance(sub, dict) else None
+
+    rules: List[Tuple[str, str, str]] = []
+    bb_cfg = model_cfg.get('backbone') or {}
+    bb = bb_cfg.get('type')
+    if bb == 'VeryDeepVgg':
+        pass   # covered by crnn_rules below (backbone+decoder table)
+    elif bb == 'ResNet31OCR':
+        rules += resnet31_rules(layers=tuple(bb_cfg.get('layers',
+                                                        (1, 2, 5, 3))))
+    elif bb in ('ResNetABI', 'ResNetABI_v2_large'):
+        rules += resnet_abi_rules(
+            arch=tuple(bb_cfg.get('arch_settings', (3, 4, 6, 6, 3))))
+    elif bb == 'NRTRModalityTransform':
+        rules += nrtr_modality_rules()
+    elif bb == 'ShallowCNN':
+        rules += shallow_cnn_rules()
+    elif bb is not None:
+        raise ValueError(f'no conversion rules for backbone type {bb!r}')
+
+    if model_cfg.get('tpsnet'):
+        rules += tps_pp_rules('tpsnet', 'tpsnet')
+    if _t('preprocessor') == 'TPSPreprocessor':
+        rules += tps_preprocessor_rules()
+
+    enc, dec = _t('encoder'), _t('decoder')
+    enc_cfg = model_cfg.get('encoder') or {}
+    dec_cfg = model_cfg.get('decoder') or {}
+    if dec == 'CRNNDecoder':
+        rules += crnn_rules()   # includes the VGG backbone table
+    if enc == 'NRTREncoder':
+        for i in range(int(enc_cfg.get('n_layers', 6))):
+            rules += _tf_encoder_layer_rules(f'encoder.layer_stack.{i}',
+                                             f'encoder/layer{i}')
+        rules.append(('encoder.layer_norm', 'encoder/layer_norm', 'ln'))
+    elif enc == 'SatrnEncoder':
+        rules += satrn_rules(n_layers=int(enc_cfg.get('n_layers', 12)))
+    elif enc == 'SAREncoder':
+        rules += [r for r in sar_rules() if r[0].startswith('encoder.')]
+    elif enc == 'ChannelReductionEncoder':
+        rules.append(('encoder.layer', 'encoder/layer', 'conv'))
+    if dec in ('NRTRDecoder', 'TFDecoder', 'TFCommonDecoder'):
+        rules += nrtr_decoder_rules(int(dec_cfg.get('n_layers', 6)))
+    elif dec in ('ParallelSARDecoder', 'ParallelSARDecoderWithBS'):
+        rules += [r for r in sar_rules() if r[0].startswith('decoder.')]
+    elif dec == 'SequentialSARDecoder':
+        rules += sequential_sar_rules()
+    elif dec == 'RobustScannerDecoder':
+        rules += [r for r in robust_scanner_rules()
+                  if r[0].startswith('decoder.')]
+
+    if model_cfg.get('type') == 'ABINet':
+        # encoder=ABIVisionModel nests the TransformerEncoder config
+        n_enc = int((enc_cfg.get('encoder') or {}).get('n_layers', 3))
+        n_lang = int(dec_cfg.get('n_layers', 4))
+        rules += abinet_rules(
+            n_enc_layers=n_enc, n_lang_layers=n_lang,
+            enc_tp='encoder.encoder.transformer', enc_fp='encoder/enc/layer',
+            vis_tp='encoder.decoder', vis_fp='encoder/dec',
+            lang_tp='decoder', lang_fp='decoder')
+
+    if not rules:
+        raise ValueError(
+            f"no conversion rules derivable from model config "
+            f"type={model_cfg.get('type')!r}")
+    # de-dup while preserving order (VGG backbone may be added twice)
+    seen, out = set(), []
+    for r in rules:
+        if r not in seen:
+            seen.add(r)
+            out.append(r)
+    return out
+
+
+def convert_checkpoint(state_dict: Dict[str, np.ndarray], rec, variables,
+                       rules=None, strict_coverage: bool = True):
+    """state_dict + built recognizer -> merged variables.
+
+    Auto-selects rules from ``rec.cfg`` (the model config the recognizer
+    was built from) when not given; raises if the checkpoint leaves model
+    params uncovered (strict_coverage) so a wrong config/checkpoint
+    pairing fails loudly instead of predicting garbage."""
+    rules = rules if rules is not None else rules_for_config(rec.cfg)
+    rules = filter_rules_to_state(rules, state_dict)
+    flat = convert_state_dict(state_dict, rules)
+    merged = merge_flat(variables, flat)
+    if strict_coverage:
+        def leaf_paths(t, prefix=''):
+            if isinstance(t, dict):
+                out = set()
+                for k, v in t.items():
+                    out |= leaf_paths(v, f'{prefix}/{k}' if prefix else k)
+                return out
+            return {prefix}
+        missing = leaf_paths(variables.get('params', {})) \
+            - set(flat['params'])
+        if missing:
+            raise ValueError(
+                f'{len(missing)} model params not covered by the '
+                f'checkpoint (config/checkpoint mismatch?): '
+                f'{sorted(missing)[:8]}')
+    return merged
 
 
 def filter_rules_to_state(rules, state_dict):
