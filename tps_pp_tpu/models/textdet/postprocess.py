@@ -85,54 +85,23 @@ class DBPostprocessor:
         return boundaries
 
 
-def _poly_iou(a: np.ndarray, b: np.ndarray, scale: int = 1) -> float:
-    """Rasterized polygon IoU (shapely-free)."""
-    pa = np.asarray(a, np.float32).reshape(-1, 2)
-    pb = np.asarray(b, np.float32).reshape(-1, 2)
-    all_pts = np.concatenate([pa, pb], axis=0)
-    mins = all_pts.min(0)
-    maxs = all_pts.max(0)
-    wh = np.maximum((maxs - mins + 2).astype(np.int64), 1)
-    area = int(wh[0]) * int(wh[1])   # python ints: no int32 wraparound
-    if area > 4_000_000:  # guard
-        scale = max(scale, int(np.sqrt(area / 4_000_000)) + 1)
-    w, h = int(wh[0] // scale) + 1, int(wh[1] // scale) + 1
-    ma = np.zeros((h, w), np.uint8)
-    mb = np.zeros((h, w), np.uint8)
-    cv2.fillPoly(ma, [((pa - mins) / scale).astype(np.int32)], 1)
-    cv2.fillPoly(mb, [((pb - mins) / scale).astype(np.int32)], 1)
-    inter = np.logical_and(ma, mb).sum()
-    union = np.logical_or(ma, mb).sum()
-    return float(inter) / max(float(union), 1.0)
-
-
-def _ignore_ratio(pred: np.ndarray, ignore: np.ndarray) -> float:
-    """intersection(pred, ignore) / area(pred), rasterized."""
-    pa = np.asarray(pred, np.float32).reshape(-1, 2)
-    pb = np.asarray(ignore, np.float32).reshape(-1, 2)
-    all_pts = np.concatenate([pa, pb], axis=0)
-    mins, maxs = all_pts.min(0), all_pts.max(0)
-    wh = np.maximum((maxs - mins + 2).astype(np.int64), 1)
-    scale = max(1, int(np.sqrt(int(wh[0]) * int(wh[1]) / 4_000_000)) + 1
-                ) if int(wh[0]) * int(wh[1]) > 4_000_000 else 1
-    w, h = int(wh[0] // scale) + 1, int(wh[1] // scale) + 1
-    ma = np.zeros((h, w), np.uint8)
-    mb = np.zeros((h, w), np.uint8)
-    cv2.fillPoly(ma, [((pa - mins) / scale).astype(np.int32)], 1)
-    cv2.fillPoly(mb, [((pb - mins) / scale).astype(np.int32)], 1)
-    inter = np.logical_and(ma, mb).sum()
-    return float(inter) / max(float(ma.sum()), 1.0)
-
-
 def eval_hmean_iou(pred_boundaries: Sequence[Sequence[np.ndarray]],
                    gt_polygons: Sequence[Sequence[np.ndarray]],
                    iou_thr: float = 0.5, gt_ignore=None,
                    ignore_thr: float = 0.5) -> Dict[str, float]:
-    """Per-image one-to-one IoU matching -> dataset precision/recall/hmean
-    (reference hmean_iou protocol). ``gt_ignore``: per-image don't-care
-    polygons — predictions mostly covered by one are discarded before
-    precision is computed (ICDAR protocol; reference eval_utils
-    ignore_pred)."""
+    """Reference-exact hmean-iou (``core/evaluation/hmean_iou.py:8-120``),
+    with EXACT polygon areas (evaluation/polygon.py — the reference uses
+    shapely; executed parity in tests/test_metric.py):
+
+      * prediction ignore: inter(det, ignored_gt) / area(det) >
+        ``ignore_thr`` against any ignored gt (eval_utils.ignore_pred)
+      * matching: greedy in (gt index, pred index) order with strict
+        ``iou > iou_thr`` — NOT best-match (hmean_iou.py:82-90)
+      * compute_hmean zero conventions: no gts -> recall 1.0, precision
+        1.0 iff no preds (eval_utils.compute_hmean:83-88)
+    """
+    from ...evaluation.polygon import (poly_intersection_area, poly_iou,
+                                       polygon_area)
     n_gt = n_pred = n_match = 0
     if gt_ignore is None:
         gt_ignore = [[] for _ in pred_boundaries]
@@ -140,29 +109,40 @@ def eval_hmean_iou(pred_boundaries: Sequence[Sequence[np.ndarray]],
         # boundaries may carry a trailing score (odd length) — strip it
         preds = [np.asarray(p, np.float32).reshape(-1) for p in preds]
         preds = [p[:-1] if len(p) % 2 else p for p in preds]
-        if len(ignores):
-            preds = [p for p in preds
-                     if max((_ignore_ratio(p, ig) for ig in ignores),
-                            default=0.0) < ignore_thr]
-        n_gt += len(gts)
-        n_pred += len(preds)
-        used = set()
-        for g in gts:
-            best, best_j = 0.0, -1
+        gts = [np.asarray(g, np.float32).reshape(-1, 2) for g in gts]
+        ignores = [np.asarray(g, np.float32).reshape(-1, 2)
+                   for g in ignores]
+        pred_ignored = set()
+        if ignores:
             for j, p in enumerate(preds):
-                if j in used:
+                area = polygon_area(p)
+                for ig in ignores:
+                    inter = poly_intersection_area(p, ig)
+                    prec = 0.0 if area == 0 else inter / area
+                    if prec > ignore_thr:
+                        pred_ignored.add(j)
+                        break
+        gt_hit = [False] * len(gts)
+        pred_hit = [False] * len(preds)
+        for gi, g in enumerate(gts):
+            for j, p in enumerate(preds):
+                if gt_hit[gi] or pred_hit[j] or j in pred_ignored:
                     continue
-                iou = _poly_iou(np.asarray(p, np.float32).reshape(-1, 2),
-                                np.asarray(g, np.float32).reshape(-1, 2))
-                if iou > best:
-                    best, best_j = iou, j
-            if best >= iou_thr:
-                n_match += 1
-                used.add(best_j)
-    eps = 1e-8
-    precision = n_match / (n_pred + eps)
-    recall = n_match / (n_gt + eps)
-    hmean = 2 * precision * recall / (precision + recall + eps)
+                if poly_iou(p, g) > iou_thr:
+                    gt_hit[gi] = True
+                    pred_hit[j] = True
+                    n_match += 1
+        n_gt += len(gts)
+        n_pred += len(preds) - len(pred_ignored)
+    # eval_utils.compute_hmean conventions
+    if n_gt == 0:
+        recall = 1.0
+        precision = 0.0 if n_pred > 0 else 1.0
+    else:
+        recall = n_match / n_gt
+        precision = 0.0 if n_pred == 0 else n_match / n_pred
+    denom = recall + precision
+    hmean = 0.0 if denom == 0 else 2 * precision * recall / denom
     return {'precision': round(precision, 4), 'recall': round(recall, 4),
             'hmean': round(hmean, 4)}
 
@@ -283,7 +263,8 @@ class PANPostprocessor:
 
 def poly_nms(polygons: List, threshold: float) -> List:
     """Greedy polygon NMS by score (reference postprocess/utils.py:117-138);
-    IoU via rasterization (_poly_iou) instead of the reference's shapely."""
+    exact polygon IoU (evaluation/polygon.py) like the reference's shapely."""
+    from ...evaluation.polygon import poly_iou
     polygons = sorted(polygons, key=lambda x: x[-1])
     keep = []
     index = list(range(len(polygons)))
@@ -292,9 +273,9 @@ def poly_nms(polygons: List, threshold: float) -> List:
         a = np.asarray(polygons[i][:-1], np.float32)
         keep.append(list(polygons[i]))
         index = [j for j in index
-                 if _poly_iou(a.reshape(-1, 2),
-                              np.asarray(polygons[j][:-1],
-                                         np.float32).reshape(-1, 2))
+                 if poly_iou(a.reshape(-1, 2),
+                             np.asarray(polygons[j][:-1],
+                                        np.float32).reshape(-1, 2))
                  <= threshold]
     return keep
 
