@@ -122,7 +122,7 @@ def main():
     iters = iters * inner
 
     ips = batch * iters / dt
-    print(json.dumps({
+    payload = {
         'metric': 'nrtr_tpspp_infer_images_per_sec_per_chip',
         'value': round(ips, 2),
         'unit': 'images/sec/chip',
@@ -131,7 +131,43 @@ def main():
         'decode_mode': rec.resolved_decode_mode(),
         'kv_dtype': kv_dtype,
         'batch': batch,
-    }))
+    }
+    try:
+        # XLA's own FLOP count for the exact timed program (cache-warm
+        # relower, no extra device work) -> achieved TFLOP/s + MXU
+        # utilization vs the v5e bf16 peak, so perf regressions localize
+        # to 'lost throughput' vs 'lost efficiency' automatically
+        # single-batch program (NOT run_many: cost_analysis counts a scan
+        # body once, not times its trip count). Pallas custom calls carry
+        # no XLA flop estimate, so this is the XLA-visible floor — the
+        # fused decode/TPS/encoder kernels add on top of it.
+        ca = (jax.jit(rec._predict_impl).lower(variables, img, vr)
+              .compile().cost_analysis())
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        fpi = float(ca.get('flops', float('nan'))) / batch
+        if fpi == fpi:   # not NaN
+            payload['xla_flops_per_image_G'] = round(fpi / 1e9, 3)
+            payload['achieved_tflops_floor'] = round(ips * fpi / 1e12, 2)
+            payload['mxu_util_floor_vs_197T'] = round(ips * fpi / 197e12,
+                                                      4)
+    except Exception as e:  # noqa: BLE001 — diagnostics must never kill
+        print(f'bench: cost_analysis unavailable: {e!r}', file=sys.stderr)
+    if os.environ.get('BENCH_STAGES'):
+        # per-stage ledger (stem/TPS/tail/encoder/decode) via the prefix
+        # profiler — opt-in: it compiles 6 extra prefix programs
+        import importlib.util as ilu
+        spec = ilu.spec_from_file_location('profile_stages', os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), 'scratch',
+            'profile_stages.py'))
+        mod = ilu.module_from_spec(spec)
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), 'scratch'))
+        spec.loader.exec_module(mod)
+        payload['stage_ms'] = _retry(
+            lambda: mod.measure_stages(batch, inner, max(1, iters // inner),
+                                       quiet=True),
+            label='stage-ledger')['stage_ms']
+    print(json.dumps(payload))
 
 
 if __name__ == '__main__':

@@ -17,13 +17,12 @@ import argparse
 from common import enable_compile_cache, timed_scan
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument('--batch', type=int, default=512)
-    ap.add_argument('--inner', type=int, default=6)
-    ap.add_argument('--iters', type=int, default=3)
-    args = ap.parse_args()
-
+def measure_stages(batch: int = 512, inner: int = 6, iters: int = 3,
+                   quiet: bool = False):
+    """Measure the per-stage serving ledger; returns
+    {'decode_mode', 'prefix_ms': {name: ms}, 'stage_ms': {name: ms}}.
+    Also importable by bench.py (BENCH_STAGES=1) so the driver-captured
+    JSON can carry the ledger."""
     enable_compile_cache()
     import jax
     import jax.numpy as jnp
@@ -36,9 +35,9 @@ def main():
     variables = rec.init_variables(jax.random.PRNGKey(0), (2, h, w, c))
     variables = jax.device_put(variables)
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.standard_normal((args.batch, h, w, c)),
+    img = jnp.asarray(rng.standard_normal((batch, h, w, c)),
                       jnp.bfloat16)
-    vr = jnp.ones((args.batch,), jnp.float32)
+    vr = jnp.ones((batch,), jnp.float32)
     mod = rec.module
 
     # prefix programs — each returns a single array so timed_scan can chain
@@ -92,16 +91,32 @@ def main():
               ('+ encoder (fused)', p_encoder), ('full (decode)', p_full)]
 
     prev = 0.0
-    print(f'B={args.batch} bf16; decode={rec.resolved_decode_mode()}')
+    out = {'decode_mode': rec.resolved_decode_mode(), 'prefix_ms': {},
+           'stage_ms': {}}
+    if not quiet:
+        print(f'B={batch} bf16; decode={out["decode_mode"]}')
     for name, fn in stages:
         sec = timed_scan(lambda v, i, r, _f=fn: _f(v, i, r),
                          (variables, img, vr),
-                         inner=args.inner, iters=args.iters)
+                         inner=inner, iters=iters)
         ms = sec * 1e3
-        ips = args.batch / sec
-        print(f'{name:20s} prefix {ms:7.2f} ms  stage {ms - prev:7.2f} ms '
-              f' ({ips:7.0f} img/s cumulative)', flush=True)
+        ips = batch / sec
+        out['prefix_ms'][name] = round(ms, 2)
+        out['stage_ms'][name] = round(ms - prev, 2)
+        if not quiet:
+            print(f'{name:20s} prefix {ms:7.2f} ms  stage {ms - prev:7.2f} ms '
+                  f' ({ips:7.0f} img/s cumulative)', flush=True)
         prev = ms
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=512)
+    ap.add_argument('--inner', type=int, default=6)
+    ap.add_argument('--iters', type=int, default=3)
+    args = ap.parse_args()
+    measure_stages(args.batch, args.inner, args.iters)
 
 
 if __name__ == '__main__':

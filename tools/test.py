@@ -262,8 +262,20 @@ def main():
         results = _collect_results(results, len(test_ds))
         metrics = test_ds.evaluate(results, metric=args.eval)
     else:
+        # single process, multiple local chips: shard eval batches over a
+        # data-only mesh (the v5e-8 serving layout; reference analog is
+        # MMDataParallel over local GPUs, tools/test.py:197)
+        mesh = None
+        if len(jax.devices()) > 1:
+            from tps_pp_tpu.parallel import create_mesh
+            mesh = create_mesh(model=1)
+            n = mesh.shape['data']
+            if batch % n:   # shard_batch needs a divisible batch
+                batch = ((batch + n - 1) // n) * n
+            logging.info('eval sharded over %d-device data mesh (batch %d)',
+                         mesh.shape['data'], batch)
         metrics, results = eval_recognizer(rec, variables, test_ds,
-                                           batch_size=batch,
+                                           batch_size=batch, mesh=mesh,
                                            metric=args.eval,
                                            return_results=True)
     _report(metrics, args, results=results)
