@@ -376,3 +376,108 @@ def test_beam_search_reference_parity():
         np.testing.assert_array_equal(got.argmax(-1), ref_out.argmax(-1))
         np.testing.assert_allclose(got.max(-1), ref_out.max(-1),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_sar_gru_variants_reference_parity():
+    """``enc_gru``/``dec_gru`` (reference sar_encoder.py:62-69 nn.GRU,
+    sar_decoder.py:88-96 nn.GRU + :319-358 GRUCell pair with
+    ``hx = cx = cell(...)``) vs the executed reference modules with
+    converted weights: encoder holistic feature, parallel-decoder
+    teacher-forced logits, and sequential-decoder greedy decode."""
+    import jax
+    import jax.numpy as jnp
+    from tps_pp_tpu.models.decoders.sar import (ParallelSARDecoder,
+                                                SequentialSARDecoder)
+    from tps_pp_tpu.models.encoders.sar import SAREncoder
+    from tps_pp_tpu.utils.torch_convert import (convert_state_dict,
+                                                filter_rules_to_state,
+                                                merge_flat, sar_rules,
+                                                sequential_sar_rules)
+
+    torch.manual_seed(33)
+    C, PAD, T = 37, 36, 8
+    feat = torch.randn(3, 512, 4, 16)
+    metas = [{'valid_ratio': 0.5}, {'valid_ratio': 0.8},
+             {'valid_ratio': 1.0}]
+    vr = jnp.asarray([0.5, 0.8, 1.0], jnp.float32)
+    fj = jnp.asarray(np.transpose(feat.numpy(), (0, 2, 3, 1)))
+
+    # --- encoder: 2-layer nn.GRU over width ------------------------------
+    ref_e = REF.SAREncoder(enc_gru=True, enc_bi_rnn=False, enc_do_rnn=0.0)
+    ref_e.eval()
+    with torch.no_grad():
+        ref_hol = ref_e(feat, metas)
+    enc = SAREncoder(enc_gru=True, dtype=jnp.float32)
+    e_vars = enc.init(jax.random.PRNGKey(0), fj, vr)
+    sd = {f'encoder.{k}': v.numpy() for k, v in ref_e.state_dict().items()}
+    enc_rules = [r for r in sar_rules() if r[0].startswith('encoder.')]
+    flat = convert_state_dict(sd, filter_rules_to_state(enc_rules, sd))
+    sub = {t: {p[len('encoder/'):]: a for p, a in e.items()}
+           for t, e in flat.items()}
+    e_vars = merge_flat(e_vars, sub)
+    got_hol = enc.apply(e_vars, fj, vr)
+    np.testing.assert_allclose(np.asarray(got_hol), ref_hol.numpy(),
+                               atol=2e-5, rtol=1e-4)
+
+    # --- parallel decoder: 2-layer nn.GRU, teacher-forced ----------------
+    hol = torch.randn(3, 512)
+    hj = jnp.asarray(hol.numpy())
+    tgt = torch.tensor([[0, 5, 9, 2, PAD, PAD, PAD, PAD],
+                        [0, 7, 3, 3, 4, 6, 2, PAD],
+                        [0, 1, 2, 3, 4, 5, 6, 7]], dtype=torch.long)
+    ref_d = REF.ParallelSARDecoder(num_classes=C, dec_gru=True,
+                                   padding_idx=PAD, start_idx=0,
+                                   max_seq_len=T, pred_concat=True, d_k=64)
+    ref_d.eval()
+    ref_d.train_mode = True
+    with torch.no_grad():
+        ref_tf = ref_d.forward_train(feat, hol,
+                                     {'padded_targets': tgt}, metas)
+    dec = ParallelSARDecoder(num_classes=C, dec_gru=True, padding_idx=PAD,
+                             start_idx=0, max_seq_len=T, pred_concat=True,
+                             d_k=64, dtype=jnp.float32)
+    tj = jnp.asarray(tgt.numpy())
+    d_vars = dec.init(jax.random.PRNGKey(0), fj, hj, targets=tj,
+                      valid_ratio=vr)
+    sd = {f'decoder.{k}': v.numpy() for k, v in ref_d.state_dict().items()}
+    dec_rules = [r for r in sar_rules() if r[0].startswith('decoder.')]
+    flat = convert_state_dict(sd, filter_rules_to_state(dec_rules, sd))
+    sub = {t: {p[len('decoder/'):]: a for p, a in e.items()}
+           for t, e in flat.items()}
+    d_vars = merge_flat(d_vars, sub)
+    got_tf = dec.apply(d_vars, fj, hj, targets=tj, valid_ratio=vr)
+    np.testing.assert_allclose(np.asarray(got_tf), ref_tf.numpy(),
+                               atol=2e-4, rtol=1e-3)
+
+    # --- sequential decoder: GRUCell pair, greedy AR decode --------------
+    ref_s = REF.SequentialSARDecoder(num_classes=C, dec_gru=True,
+                                     padding_idx=PAD, start_idx=0,
+                                     max_seq_len=T, pred_concat=True,
+                                     d_k=64)
+    ref_s.eval()
+    ref_s.train_mode = False
+    with torch.no_grad():
+        ref_probs = ref_s.forward_test(feat, hol, metas)
+    seq = SequentialSARDecoder(num_classes=C, dec_gru=True, padding_idx=PAD,
+                               start_idx=0, max_seq_len=T, pred_concat=True,
+                               d_k=64, dtype=jnp.float32)
+    s_vars = seq.init(jax.random.PRNGKey(0), fj, hj, targets=tj,
+                      valid_ratio=vr)
+    sd = {f'decoder.{k}': v.numpy() for k, v in ref_s.state_dict().items()}
+    flat = convert_state_dict(
+        sd, filter_rules_to_state(sequential_sar_rules(), sd))
+    sub = {t: {p[len('decoder/'):]: a for p, a in e.items()}
+           for t, e in flat.items()}
+    s_vars = merge_flat(s_vars, sub)
+    carry, static = seq.apply(s_vars, fj, hj, vr, method='decode_init')
+    token = jnp.full((3,), 0, jnp.int32)
+    probs = []
+    for t in range(T):
+        p, carry = seq.apply(s_vars, token, t, carry, static,
+                             method='decode_step')
+        probs.append(np.asarray(p))
+        token = jnp.argmax(p, axis=-1).astype(jnp.int32)
+    got = np.stack(probs, axis=1)
+    np.testing.assert_array_equal(got.argmax(-1),
+                                  ref_probs.numpy().argmax(-1))
+    np.testing.assert_allclose(got, ref_probs.numpy(), atol=2e-4, rtol=1e-3)

@@ -34,6 +34,24 @@ def _lstm_cell_step(rnn: TorchLSTMCellScan, x, h, c):
     return h, c
 
 
+def _gru_cell_step(rnn, x, h, c):
+    """Single step sharing TorchGRUCellScan params (torch gate order r,z,n;
+    b_hn inside the reset product). The unused ``c`` slot keeps the LSTM
+    carry signature so SAR's ``dec_gru`` dispatch (reference
+    sar_decoder.py:353-358 ``hx = cx = GRUCell(...)``) drops in — the new
+    hidden state is returned in both slots."""
+    p = rnn.variables['params']
+    xw = x @ p['weight_ih'].T + p['bias_ih']
+    hw = h @ p['weight_hh'].T + p['bias_hh']
+    xr, xz, xn = jnp.split(xw, 3, axis=-1)
+    hr, hz, hn = jnp.split(hw, 3, axis=-1)
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    h = (1.0 - z) * n + z * h
+    return h, h
+
+
 def dot_product_attention(query, key, value, mask=None, scale=1.0):
     """query (N, T, D), key/value (N, L, D/Dv), mask (N, L) True=masked.
     Reference layers/dot_product_attention_layer.py."""

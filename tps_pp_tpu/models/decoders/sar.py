@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...registry import DECODERS
-from ..layers import TorchLSTMCellScan
+from ..layers import TorchGRUCellScan, TorchLSTMCellScan
 
 
 @DECODERS.register_module()
@@ -31,6 +31,7 @@ class ParallelSARDecoder(nn.Module):
     enc_bi_rnn: bool = False
     dec_bi_rnn: bool = False
     dec_do_rnn: float = 0.0
+    dec_gru: bool = False
     d_model: int = 512
     d_enc: int = 512
     d_k: int = 64
@@ -54,8 +55,11 @@ class ParallelSARDecoder(nn.Module):
         self.conv3x3_1 = nn.Conv(self.d_k, (3, 3), padding=((1, 1), (1, 1)),
                                  dtype=self.dtype)
         self.conv1x1_2 = nn.Dense(1, dtype=self.dtype)
-        self.rnn0 = TorchLSTMCellScan(enc_size, dtype=self.dtype)
-        self.rnn1 = TorchLSTMCellScan(enc_size, dtype=self.dtype)
+        # dec_gru swaps both decoder layers for torch-gate GRUs
+        # (reference sar_decoder.py:88-96 nn.GRU / :319-323 GRUCell pair)
+        cell = TorchGRUCellScan if self.dec_gru else TorchLSTMCellScan
+        self.rnn0 = cell(enc_size, dtype=self.dtype)
+        self.rnn1 = cell(enc_size, dtype=self.dtype)
         self.embedding = nn.Embed(self.num_classes, enc_size,
                                   dtype=self.dtype)
         self.pred_drop = nn.Dropout(self.pred_dropout)
@@ -111,9 +115,12 @@ class ParallelSARDecoder(nn.Module):
 
     # --- generic AR protocol ---------------------------------------------
     def _lstm_cell(self, rnn, x, h, c):
-        """One step of a TorchLSTMCellScan using its own params."""
-        from .robust_scanner import _lstm_cell_step
-        return _lstm_cell_step(rnn, x, h, c)
+        """One step of a Torch{LSTM,GRU}CellScan using its own params. The
+        GRU form returns (h, h) — the reference's ``hx = cx = GRUCell(...)``
+        (sar_decoder.py:353-358) — so the carried c slot stays inert."""
+        from .robust_scanner import _gru_cell_step, _lstm_cell_step
+        step = _gru_cell_step if self.dec_gru else _lstm_cell_step
+        return step(rnn, x, h, c)
 
     def decode_init(self, feat, out_enc, valid_ratio=None):
         N = out_enc.shape[0]

@@ -1,9 +1,9 @@
 """SAR holistic LSTM encoder (reference ``encoders/sar_encoder.py:14-111``).
 
-Height max-pool -> 2-layer LSTM over the width axis -> hidden state at the
-valid_ratio-clipped last column -> linear. GRU variant omitted (no shipped
-config uses it); LSTM is the torch-gate scan from layers.py so weights
-convert 1:1.
+Height max-pool -> 2-layer LSTM (or GRU when ``enc_gru``, sar_encoder.py:
+62-69) over the width axis -> hidden state at the valid_ratio-clipped last
+column -> linear. Both RNNs are the torch-gate scans from layers.py so
+weights convert 1:1.
 """
 from __future__ import annotations
 
@@ -13,13 +13,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...registry import ENCODERS
-from ..layers import TorchLSTMCellScan
+from ..layers import TorchGRUCellScan, TorchLSTMCellScan
 
 
 @ENCODERS.register_module()
 class SAREncoder(nn.Module):
     enc_bi_rnn: bool = False
     enc_do_rnn: float = 0.0
+    enc_gru: bool = False
     d_model: int = 512
     d_enc: int = 512
     mask: bool = True
@@ -27,15 +28,16 @@ class SAREncoder(nn.Module):
 
     @nn.compact
     def __call__(self, feat, valid_ratio=None, train: bool = False):
+        cell = TorchGRUCellScan if self.enc_gru else TorchLSTMCellScan
         # feat: (N, H, W, C) -> max over H -> (N, W, C)
         x = jnp.max(feat, axis=1)
         for i in range(2):
-            fwd = TorchLSTMCellScan(self.d_enc, dtype=self.dtype,
-                                    name=f'rnn{i}_fwd')(x)
+            fwd = cell(self.d_enc, dtype=self.dtype,
+                       name=f'rnn{i}_fwd')(x)
             if self.enc_bi_rnn:
-                bwd = TorchLSTMCellScan(self.d_enc, reverse=True,
-                                        dtype=self.dtype,
-                                        name=f'rnn{i}_bwd')(x)
+                bwd = cell(self.d_enc, reverse=True,
+                           dtype=self.dtype,
+                           name=f'rnn{i}_bwd')(x)
                 x = jnp.concatenate([fwd, bwd], axis=-1)
             else:
                 x = fwd

@@ -174,6 +174,59 @@ class TorchLSTMCellScan(nn.Module):
         return hs
 
 
+class TorchGRUCellScan(nn.Module):
+    """Single-direction GRU over (N, T, In) via lax.scan, with torch's
+    parameterization (gate order r,z,n; both b_ih and b_hh; b_hn sits
+    INSIDE the reset-gate product, torch nn.GRU docs) so .pth weights map
+    1:1 through the same converter kinds as the LSTM (weight_ih (3H, In),
+    weight_hh (3H, H), bias_ih, bias_hh). Backs the reference's
+    ``enc_gru``/``dec_gru`` SAR options (sar_encoder.py:62-69,
+    sar_decoder.py:88-96)."""
+    hidden_size: int
+    reverse: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        N, T, In = x.shape
+        H = self.hidden_size
+
+        def torch_uniform(key, shape, dtype=self.dtype):
+            bound = 1.0 / H ** 0.5
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        w_ih = self.param('weight_ih', torch_uniform, (3 * H, In))
+        w_hh = self.param('weight_hh', torch_uniform, (3 * H, H))
+        b_ih = self.param('bias_ih', torch_uniform, (3 * H,))
+        b_hh = self.param('bias_hh', torch_uniform, (3 * H,))
+
+        # hoist the input projection out of the scan (one big MXU matmul);
+        # unlike the LSTM, b_hh cannot be folded in: b_hn is multiplied by
+        # the reset gate, so the hidden-side projection stays in the step
+        xw = jnp.einsum('nti,gi->ntg', x, w_ih,
+                        preferred_element_type=jnp.float32).astype(self.dtype)
+        xw = xw + b_ih
+        if self.reverse:
+            xw = jnp.flip(xw, axis=1)
+
+        def step(h, xt):
+            hw = h @ w_hh.T + b_hh
+            xr, xz, xn = jnp.split(xt, 3, axis=-1)
+            hr, hz, hn = jnp.split(hw, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            h = (1.0 - z) * n + z * h
+            return h, h
+
+        init = jnp.zeros((N, H), self.dtype)
+        _, hs = jax.lax.scan(step, init, jnp.swapaxes(xw, 0, 1))
+        hs = jnp.swapaxes(hs, 0, 1)
+        if self.reverse:
+            hs = jnp.flip(hs, axis=1)
+        return hs
+
+
 class BidirectionalLSTM(nn.Module):
     """nn.LSTM(bidirectional=True) + Linear, as in CRNN
     (reference lstm_layer.py:5-21)."""
