@@ -249,3 +249,41 @@ def test_bf16_cotangent_path():
     gi_raw = jax.grad(raw)(img.astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(gi_pl), np.asarray(gi_raw),
                                rtol=0.05, atol=0.05)
+
+
+def test_pallas_fwd_primal_and_grads():
+    """The TPU primal now rides the interpolation-matmul kernel
+    (_FORCE_PALLAS_FWD exercises that branch in interpret mode): values
+    must match the gather formulation and the custom VJP must be
+    unaffected (it saves (img, grid), not the primal)."""
+    img, grid, cot = _case(seed=13)
+
+    def loss(im, gr, pm, ac):
+        return jnp.sum(grid_sample(im, gr, padding_mode=pm,
+                                   align_corners=ac) * cot)
+
+    ref = {}
+    for pm, ac in MODES:
+        ref[(pm, ac)] = (
+            _gather_impl(img, grid, pm, ac),
+            jax.grad(loss, argnums=(0, 1))(img, grid, pm, ac))
+
+    old = gs_mod._FORCE_PALLAS_FWD
+    gs_mod._FORCE_PALLAS_FWD = True
+    jax.clear_caches()
+    try:
+        for pm, ac in MODES:
+            val = grid_sample(img, grid, padding_mode=pm, align_corners=ac)
+            gi, gg = jax.grad(loss, argnums=(0, 1))(img, grid, pm, ac)
+            np.testing.assert_allclose(np.asarray(val),
+                                       np.asarray(ref[(pm, ac)][0]),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(gi),
+                                       np.asarray(ref[(pm, ac)][1][0]),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(gg),
+                                       np.asarray(ref[(pm, ac)][1][1]),
+                                       rtol=1e-4, atol=1e-5)
+    finally:
+        gs_mod._FORCE_PALLAS_FWD = old
+        jax.clear_caches()

@@ -87,18 +87,31 @@ def _gather_impl(img: jax.Array, grid: jax.Array, padding_mode: str,
     return out.astype(img.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _grid_sample_vjp(img, grid, padding_mode, align_corners):
+# tests flip these to exercise the Pallas forward/backward (interpret
+# mode) on the 8-virtual-device CPU mesh — the TPU branches are otherwise
+# invisible to CI
+_FORCE_PALLAS_BWD = False
+_FORCE_PALLAS_FWD = False
+
+
+def _sample_impl(img, grid, padding_mode, align_corners):
+    """Primal: on TPU the 4-gather formulation measured 35.2 ms vs ~13 ms
+    for the interpolation-matmul Pallas kernel at flagship train scale
+    (scratch/bench_sampler_pieces.py), so the forward rides the kernel
+    there too; CPU/GPU keep the cheap native gathers."""
+    if jax.default_backend() == 'tpu' or _FORCE_PALLAS_FWD:
+        from .pallas_grid_sample import grid_sample_pallas
+        return grid_sample_pallas(img, grid, padding_mode, align_corners)
     return _gather_impl(img, grid, padding_mode, align_corners)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _grid_sample_vjp(img, grid, padding_mode, align_corners):
+    return _sample_impl(img, grid, padding_mode, align_corners)
+
+
 def _grid_sample_fwd(img, grid, padding_mode, align_corners):
-    return _gather_impl(img, grid, padding_mode, align_corners), (img, grid)
-
-
-# tests flip this to exercise the Pallas backward (interpret mode) on the
-# 8-virtual-device CPU mesh — the TPU branch is otherwise invisible to CI
-_FORCE_PALLAS_BWD = False
+    return _sample_impl(img, grid, padding_mode, align_corners), (img, grid)
 
 
 def _grid_sample_bwd(padding_mode, align_corners, res, g):

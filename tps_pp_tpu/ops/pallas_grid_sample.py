@@ -53,6 +53,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.custom_partitioning import custom_partitioning
+from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
@@ -60,6 +61,16 @@ def _unnormalize(coord, size: int, align_corners: bool):
     if align_corners:
         return (coord + 1.0) * 0.5 * (size - 1)
     return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def _vmem_params(interpret):
+    """The (TILE, H*W) f32 hat-geometry temporaries exceed Mosaic's default
+    16 MB scoped-VMEM stack at flagship scale (tile=256, H*W=4096 measured
+    25.01 M in the fused VJP at B=512). Total VMEM is 128 MB and these
+    kernels hold no other large buffers — raise the limit like the
+    stem/decode kernels do."""
+    return (pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+            if not interpret else None)
 
 
 def _hat_geometry(g, H, W, TILE, padding_mode, align_corners):
@@ -123,6 +134,7 @@ def _fwd_raw(img, grid, padding_mode, align_corners, tile, interpret):
         ],
         out_specs=pl.BlockSpec((1, TILE, C), lambda n, t: (n, t, 0)),
         out_shape=jax.ShapeDtypeStruct((N, P_ + pad, C), img.dtype),
+        compiler_params=_vmem_params(interpret),
         interpret=interpret,
     )(gf, imf)
     return out[:, :P_].reshape(N, Ho, Wo, C)
@@ -174,6 +186,7 @@ def _grad_img_raw(grid, cot, H, W, padding_mode, align_corners, tile,
         ],
         out_specs=pl.BlockSpec((1, H * W, C), lambda n, t: (n, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, H * W, C), jnp.float32),
+        compiler_params=_vmem_params(interpret),
         interpret=interpret,
     )(gf, cf)
     return out.reshape(N, H, W, C)
@@ -285,6 +298,7 @@ def _bwd_fused_raw(grid, cot, img, padding_mode, align_corners, tile,
             jax.ShapeDtypeStruct((N, H * W, C), jnp.float32),
             jax.ShapeDtypeStruct((N, P_ + pad, 2), jnp.float32),
         ],
+        compiler_params=_vmem_params(interpret),
         interpret=interpret,
     )(gf, cf, imf)
     return (d_img.reshape(N, H, W, C),
