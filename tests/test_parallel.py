@@ -55,9 +55,53 @@ def test_tp_param_rules():
     fc = [s for name, s in specs.items()
           if name.endswith('fc/kernel') or name.endswith('w_2/kernel')]
     assert all(tuple(s) == ('model', None) for s in fc), fc
-    # conv kernels replicated
-    convs = [s for name, s in specs.items() if 'conv1/kernel' in name]
-    assert all(tuple(s) == () for s in convs)
+    # residual-block convs get the Megatron conv pairing; stem conv
+    # (backbone-root 'conv1') stays replicated
+    c1 = [s for name, s in specs.items()
+          if 'block' in name and name.endswith('conv1/kernel')]
+    assert c1 and all(tuple(s) == (None, None, None, 'model') for s in c1)
+    c2 = [s for name, s in specs.items()
+          if 'block' in name and name.endswith('conv2/kernel')]
+    assert c2 and all(tuple(s) == (None, None, 'model', None) for s in c2)
+    stem = [s for name, s in specs.items()
+            if name == 'backbone/conv1/kernel']
+    assert all(tuple(s) == () for s in stem)
+    # embedding feature axis + classifier contraction axis
+    emb = [s for name, s in specs.items()
+           if name.endswith('trg_word_emb/embedding')]
+    assert emb and all(tuple(s) == (None, 'model') for s in emb)
+    cls = [s for name, s in specs.items()
+           if name.endswith('classifier/kernel')]
+    assert cls and all(tuple(s) == ('model', None) for s in cls)
+
+
+def test_tp_conv_parity_vs_replicated():
+    """Channel-sharding a det conv trunk over the 'model' axis must not
+    change the numbers: forward ResNetDet replicated vs TP-sharded on a
+    2x2 mesh and compare every pyramid level."""
+    from tps_pp_tpu.models.textdet.dbnet import ResNetDet
+    model = ResNetDet(stage_blocks=(1, 1, 1, 1), base_channels=8)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ref = model.apply(variables, x)
+
+    mesh = create_mesh(data=2, model=2, devices=jax.devices()[:4])
+    p_sh = param_sharding(variables['params'], mesh)
+    flat = jax.tree_util.tree_flatten_with_path(p_sh)[0]
+    assert any(tuple(s.spec) == (None, None, None, 'model')
+               for _, s in flat), 'no conv got the model axis'
+    params = jax.device_put(variables['params'], p_sh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    bs = jax.device_put(variables['batch_stats'],
+                        NamedSharding(mesh, P()))
+    xs = jax.device_put(x, NamedSharding(mesh, P('data')))
+    with mesh:
+        out = jax.jit(lambda p, b, xi: model.apply(
+            {'params': p, 'batch_stats': b}, xi))(params, bs, xs)
+    for got, want in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
 
 
 def test_sharded_train_step_runs():

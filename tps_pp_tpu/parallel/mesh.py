@@ -51,6 +51,26 @@ _TP_RULES = [
     (re.compile(r'.*(mlp/w_1|w_1)/kernel$'), P(None, 'model')),
     (re.compile(r'.*(mlp/w_1|w_1)/bias$'), P('model')),
     (re.compile(r'.*(mlp/w_2|w_2)/kernel$'), P('model', None)),
+    # conv trunks (every BasicBlock/Bottleneck in layers.py / the det
+    # backbones): the Megatron pairing transplanted to convs — conv1
+    # splits its OUTPUT channels (flax Conv kernel is (kh, kw, in, out)),
+    # bn1's per-channel affine follows that split, conv2 contracts the
+    # sharded axis, so XLA inserts exactly one psum per residual block.
+    # bn2 / conv3 / downsample see the post-psum (replicated) activation
+    # and stay replicated. Covers the CRNN/CTC/det families whose FLOPs
+    # live in convs, where the reference has only DP (SURVEY §2.10).
+    (re.compile(r'.*block\d+/conv1/kernel$'), P(None, None, None, 'model')),
+    (re.compile(r'.*block\d+/bn1/(scale|bias)$'), P('model')),
+    (re.compile(r'.*block\d+/conv2/kernel$'), P(None, None, 'model', None)),
+    # (VeryDeepVgg's bare conv0..conv6 chain is deliberately NOT ruled:
+    # its names collide with GraphConv/UNet convs across the package, and
+    # CRNN measures 55k img/s on one chip — DP is the honest strategy.)
+    # embeddings: split the feature axis (the row gather stays local; the
+    # first consumer all-gathers a (N, T, d) bf16 tensor over ICI)
+    (re.compile(r'.*emb[^/]*/embedding$'), P(None, 'model')),
+    # classifier head: contract d_model over 'model' — one psum, vocab
+    # axis left intact so argmax/softmax need no gather
+    (re.compile(r'.*classifier/kernel$'), P('model', None)),
 ]
 
 
