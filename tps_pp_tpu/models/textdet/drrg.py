@@ -86,26 +86,29 @@ def roi_align_rotated_np(feat: np.ndarray, rois: np.ndarray,
     H, W, C = feat.shape
     out_w, out_h = out_size
     n = len(rois)
-    out = np.zeros((n, out_h, out_w, C), np.float32)
+    if n == 0:
+        return np.zeros((0, out_h, out_w, C), np.float32)
     ys = (np.arange(out_h) + 0.5) / out_h - 0.5   # [-0.5, 0.5)
     xs = (np.arange(out_w) + 0.5) / out_w - 0.5
-    gy, gx = np.meshgrid(ys, xs, indexing='ij')
-    for i, (cx, cy, w, h, ang) in enumerate(rois):
-        cx, cy, w, h = (v * spatial_scale for v in (cx, cy, w, h))
-        cosa, sina = np.cos(ang), np.sin(ang)
-        # rotate the axis-aligned sampling grid by the box angle
-        px = cx + gx * w * cosa - gy * h * sina
-        py = cy + gx * w * sina + gy * h * cosa
-        x0 = np.clip(np.floor(px), 0, W - 1).astype(np.int32)
-        y0 = np.clip(np.floor(py), 0, H - 1).astype(np.int32)
-        x1 = np.clip(x0 + 1, 0, W - 1)
-        y1 = np.clip(y0 + 1, 0, H - 1)
-        wx = np.clip(px - x0, 0, 1)[..., None]
-        wy = np.clip(py - y0, 0, 1)[..., None]
-        v = ((feat[y0, x0] * (1 - wx) + feat[y0, x1] * wx) * (1 - wy) +
-             (feat[y1, x0] * (1 - wx) + feat[y1, x1] * wx) * wy)
-        out[i] = v
-    return out
+    gy, gx = np.meshgrid(ys, xs, indexing='ij')   # (oh, ow)
+    # vectorized over all RoIs: one (N, oh, ow) rotated sampling grid and
+    # one fancy-indexed bilinear gather (the per-RoI python loop was the
+    # input-bound stage at real DRRG scale — hundreds of components/batch)
+    cx, cy, w, h = (rois[:, i, None, None] * spatial_scale
+                    for i in range(4))
+    ang = rois[:, 4, None, None]
+    cosa, sina = np.cos(ang), np.sin(ang)
+    px = cx + gx[None] * w * cosa - gy[None] * h * sina   # (N, oh, ow)
+    py = cy + gx[None] * w * sina + gy[None] * h * cosa
+    x0 = np.clip(np.floor(px), 0, W - 1).astype(np.int32)
+    y0 = np.clip(np.floor(py), 0, H - 1).astype(np.int32)
+    x1 = np.clip(x0 + 1, 0, W - 1)
+    y1 = np.clip(y0 + 1, 0, H - 1)
+    wx = np.clip(px - x0, 0, 1)[..., None]
+    wy = np.clip(py - y0, 0, 1)[..., None]
+    out = ((feat[y0, x0] * (1 - wx) + feat[y0, x1] * wx) * (1 - wy) +
+           (feat[y1, x0] * (1 - wx) + feat[y1, x1] * wx) * wy)
+    return out.astype(np.float32)
 
 
 # ----------------------------------------------------------- device: GCN --
