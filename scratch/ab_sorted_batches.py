@@ -12,13 +12,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--ckpt', default=CKPT_DEFAULT)
     ap.add_argument('--batch', type=int, default=512)
+    ap.add_argument('--length-dist', choices=['uniform', 'real'],
+                    default='uniform')
+    ap.add_argument('--max-len', type=int, default=8)
     args = ap.parse_args()
     enable_compile_cache()
     import jax, jax.numpy as jnp, numpy as np
     from tps_pp_tpu.apis.flagship import FLAGSHIP_INPUT, nrtr_tps_pp_cfg
     from tps_pp_tpu.apis.recognizer import build_recognizer
     h, w, c = FLAGSHIP_INPUT
-    imgs, texts = render_dataset(args.batch, seed=0, h=h, w=w)
+    imgs, texts = render_dataset(args.batch, seed=0, h=h, w=w,
+                                 max_len=args.max_len,
+                                 length_dist=args.length_dist)
     rec = build_recognizer(nrtr_tps_pp_cfg(dtype='bfloat16',
                                            decode_mode='auto'))
     variables = rec.init_variables(jax.random.PRNGKey(0), (2, h, w, c))

@@ -12,6 +12,15 @@ jitted lax.scan; per-dispatch axon-tunnel latency not billed to the chip):
   sg_grid   full, stop_gradient(grid) at the sampler -> grid-path backward
                                                        (MSFA/TPE/grid-gen bwd)
 
+Stop-gradient-point ledger (full - sg_X = backward cost of everything
+UPSTREAM of point X, i.e. what the cotangent no longer has to traverse):
+
+  sg_stem   sg after backbone.stem_and_head   -> stem backward
+  sg_rect   sg on tpsnet 'output'             -> stem+TPS backward
+  sg_feat   sg on extract_feat output         -> whole-backbone+TPS backward
+  sg_enc    sg on (feat, out_enc) pre-decoder -> all-but-decoder backward
+  no_opt    grads but no clip/adam/update     -> optimizer cost = full-no_opt
+
 The gather sampler's backward is a scatter-add into (N,32,128,64) /
 (N,16,64,64) features — the suspected TPU-hostile op (training uses the
 differentiable gather path; the fused Pallas sampler is serving-only,
@@ -35,7 +44,9 @@ def main():
     ap.add_argument('--inner', type=int, default=4)
     ap.add_argument('--iters', type=int, default=3)
     ap.add_argument('--variants', nargs='+',
-                    default=['full', 'fwd', 'notps', 'nosample', 'sg_grid'])
+                    default=['full', 'fwd', 'notps', 'nosample', 'sg_grid',
+                             'sg_stem', 'sg_rect', 'sg_feat', 'sg_enc',
+                             'no_opt'])
     args = ap.parse_args()
     enable_compile_cache()
 
@@ -66,6 +77,38 @@ def main():
     def sg_grid_sample(im, grid, **kw):
         return real_grid_sample(im, jax.lax.stop_gradient(grid), **kw)
 
+    from tps_pp_tpu.models.recognizers.encode_decode import (
+        EncodeDecodeRecognizerModule as EDR)
+    orig_extract = EDR.extract_feat
+    orig_encode_full = EDR.encode_full
+
+    def make_extract(sg_point):
+        # mirrors EDR.extract_feat (flagship path: no preprocessor,
+        # tpsnet present) with a stop_gradient spliced at sg_point
+        def extract_feat(self, img, train=False, stem=None):
+            x, skips = (stem if stem is not None else
+                        self.backbone.stem_and_head(img, train=train))
+            if sg_point == 'stem':
+                x = jax.lax.stop_gradient(x)
+                skips = [jax.lax.stop_gradient(s) for s in skips]
+            outs = self.tpsnet(x, skips, train=train)
+            o = outs['output']
+            if sg_point == 'rect':
+                o = jax.lax.stop_gradient(o)
+            x = self.backbone.tail(o, train=train)
+            if sg_point == 'feat':
+                x = jax.lax.stop_gradient(x)
+            return x
+        return extract_feat
+
+    def sg_encode_full(self, img, valid_ratio=None, train=False, stem=None):
+        feat, out_enc = orig_encode_full(self, img, valid_ratio,
+                                         train=train, stem=stem)
+        feat = jax.lax.stop_gradient(feat)
+        if out_enc is not None:
+            out_enc = jax.lax.stop_gradient(out_enc)
+        return feat, out_enc
+
     results = {}
     for variant in args.variants:
         cfg = nrtr_tps_pp_cfg(dtype='bfloat16')
@@ -74,6 +117,11 @@ def main():
         tps_pp_mod.grid_sample = {
             'nosample': sliced_sample, 'sg_grid': sg_grid_sample,
         }.get(variant, real_grid_sample)
+        EDR.extract_feat = (make_extract(variant[3:])
+                            if variant in ('sg_stem', 'sg_rect', 'sg_feat')
+                            else orig_extract)
+        EDR.encode_full = (sg_encode_full if variant == 'sg_enc'
+                           else orig_encode_full)
 
         rec = build_recognizer(cfg)
         td = rec.label_convertor.str2tensor(['ab3x'] * B)
@@ -100,6 +148,22 @@ def main():
                     rng_ = jax.random.fold_in(jax.random.PRNGKey(1), i)
                     loss, _ = loss_fn(state.params, state.batch_stats, rng_)
                     return acc + loss, ()
+                acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                      jnp.arange(args.inner))
+                return acc
+        elif variant == 'no_opt':
+            @jax.jit
+            def run_many(state):
+                def body(acc, i):
+                    rng_ = jax.random.fold_in(jax.random.PRNGKey(1), i)
+                    (loss, _), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(state.params,
+                                               state.batch_stats, rng_)
+                    # reduce grads into the output so the backward can't
+                    # be DCE'd; one scalar-add per leaf, ~free
+                    gsum = sum(jnp.sum(g.astype(jnp.float32))
+                               for g in jax.tree_util.tree_leaves(grads))
+                    return acc + loss + 1e-9 * gsum, ()
                 acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
                                       jnp.arange(args.inner))
                 return acc
@@ -132,6 +196,8 @@ def main():
               flush=True)
 
     tps_pp_mod.grid_sample = real_grid_sample
+    EDR.extract_feat = orig_extract
+    EDR.encode_full = orig_encode_full
     if 'full' in results:
         f = results['full']
         for k, v in results.items():

@@ -50,6 +50,10 @@ def main():
     ap.add_argument('--model', choices=['nrtr', 'satrn'], default='nrtr')
     ap.add_argument('--out', default=None,
                     help='defaults per --model (flagship_toy/satrn_toy)')
+    ap.add_argument('--length-dist', choices=['uniform', 'real'],
+                    default='uniform',
+                    help="'real' = 1-25-char lognormal word lengths")
+    ap.add_argument('--max-len', type=int, default=8)
     args = ap.parse_args()
 
     enable_compile_cache()
@@ -63,7 +67,9 @@ def main():
                                                   dtype='bfloat16')
     if args.out is None:
         args.out = default_out
-    imgs, texts = render_dataset(args.n, seed=args.seed, h=h, w=w)
+    imgs, texts = render_dataset(args.n, seed=args.seed, h=h, w=w,
+                                 max_len=args.max_len,
+                                 length_dist=args.length_dist)
     print(f'rendered {args.n} crops; first 3: {texts[:3]}', flush=True)
 
     # bf16 compute / fp32 params — the same dtype split bench.py measures
