@@ -213,7 +213,12 @@ def test_pallas_bwd_under_sharded_jit():
     gi_ref, gg_ref = jax.grad(loss, argnums=(0, 1))(img, grid)
 
     old = gs_mod._FORCE_PALLAS_BWD
+    old_f = gs_mod._FORCE_PALLAS_FWD
+    # force BOTH kernel branches: on TPU the primal rides grid_sample_pallas
+    # inside the same auto-sharded step, so its custom_partitioning rule
+    # needs the identical mesh coverage
     gs_mod._FORCE_PALLAS_BWD = True
+    gs_mod._FORCE_PALLAS_FWD = True
     jax.clear_caches()   # drop traces that baked in the autodiff branch
     try:
         cot_sh = jax.device_put(cot, shard)
@@ -227,6 +232,7 @@ def test_pallas_bwd_under_sharded_jit():
                             jax.device_put(grid, shard))
     finally:
         gs_mod._FORCE_PALLAS_BWD = old
+        gs_mod._FORCE_PALLAS_FWD = old_f
         jax.clear_caches()
     np.testing.assert_allclose(np.asarray(gi_sh), np.asarray(gi_ref),
                                rtol=1e-5, atol=1e-5)
