@@ -9,6 +9,7 @@ from common import enable_compile_cache, timed_scan  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, default=512)
+    ap.add_argument('--modes', nargs='+', default=['xla', 'fused'])
     args = ap.parse_args()
     enable_compile_cache()
     import jax, jax.numpy as jnp, numpy as np
@@ -21,7 +22,7 @@ def main():
     vr = jnp.ones((args.batch,), jnp.float32)
     variables = None
     argmax = {}
-    for mode in ('xla', 'fused'):
+    for mode in args.modes:
         cfg = nrtr_tps_pp_cfg(dtype='bfloat16', decode_mode='auto')
         cfg['stem_mode'] = mode
         rec = build_recognizer(cfg)
@@ -38,9 +39,11 @@ def main():
                          (variables, img, vr))
         print(f'stem={mode:5s}  {sec*1e3:7.2f} ms  '
               f'{args.batch/sec:7.0f} img/s', flush=True)
-    flips = int((argmax['xla'] != argmax['fused']).sum())
-    print(f'argmax flips xla vs fused: {flips}/{argmax["xla"].size}',
-          flush=True)
+    base = args.modes[0]
+    for mode in args.modes[1:]:
+        flips = int((argmax[base] != argmax[mode]).sum())
+        print(f'argmax flips {base} vs {mode}: '
+              f'{flips}/{argmax[base].size}', flush=True)
 
 if __name__ == '__main__':
     main()

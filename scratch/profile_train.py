@@ -46,7 +46,8 @@ def main():
     ap.add_argument('--variants', nargs='+',
                     default=['full', 'fwd', 'notps', 'nosample', 'sg_grid',
                              'sg_stem', 'sg_rect', 'sg_feat', 'sg_enc',
-                             'no_opt'])
+                             'no_opt', 'nodrop', 'declayers3',
+                             'enclayers3', 'rbg'])
     args = ap.parse_args()
     enable_compile_cache()
 
@@ -109,9 +110,24 @@ def main():
             out_enc = jax.lax.stop_gradient(out_enc)
         return feat, out_enc
 
+    def zero_dropout(d):
+        if isinstance(d, dict):
+            return {k: (0.0 if 'drop' in k and isinstance(v, (int, float))
+                        and not isinstance(v, bool) else zero_dropout(v))
+                    for k, v in d.items()}
+        if isinstance(d, list):
+            return [zero_dropout(v) for v in d]
+        return d
+
     results = {}
     for variant in args.variants:
         cfg = nrtr_tps_pp_cfg(dtype='bfloat16')
+        if variant == 'nodrop':
+            cfg = zero_dropout(cfg)
+        elif variant == 'declayers3':
+            cfg['decoder'] = dict(cfg['decoder'], n_layers=3)
+        elif variant == 'enclayers3':
+            cfg['encoder'] = dict(cfg['encoder'], n_layers=3)
         if variant == 'notps':
             cfg.pop('tpsnet')
         tps_pp_mod.grid_sample = {
@@ -123,6 +139,8 @@ def main():
         EDR.encode_full = (sg_encode_full if variant == 'sg_enc'
                            else orig_encode_full)
 
+        base_key = (jax.random.key(1, impl='rbg') if variant == 'rbg'
+                    else jax.random.PRNGKey(1))
         rec = build_recognizer(cfg)
         td = rec.label_convertor.str2tensor(['ab3x'] * B)
         batch = {'img': img,
@@ -145,7 +163,7 @@ def main():
             @jax.jit
             def run_many(state):
                 def body(acc, i):
-                    rng_ = jax.random.fold_in(jax.random.PRNGKey(1), i)
+                    rng_ = jax.random.fold_in(base_key, i)
                     loss, _ = loss_fn(state.params, state.batch_stats, rng_)
                     return acc + loss, ()
                 acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
@@ -155,7 +173,7 @@ def main():
             @jax.jit
             def run_many(state):
                 def body(acc, i):
-                    rng_ = jax.random.fold_in(jax.random.PRNGKey(1), i)
+                    rng_ = jax.random.fold_in(base_key, i)
                     (loss, _), grads = jax.value_and_grad(
                         loss_fn, has_aux=True)(state.params,
                                                state.batch_stats, rng_)
@@ -171,7 +189,7 @@ def main():
             @jax.jit
             def run_many(state):
                 def body(st, i):
-                    rng_ = jax.random.fold_in(jax.random.PRNGKey(1), i)
+                    rng_ = jax.random.fold_in(base_key, i)
                     (loss, new_bs), grads = jax.value_and_grad(
                         loss_fn, has_aux=True)(st.params, st.batch_stats,
                                                rng_)

@@ -275,3 +275,31 @@ def test_serve_model_http(tmp_path):
         assert isinstance(out['boundary_result'], list)
     finally:
         det_server.shutdown()
+
+
+def test_train_with_rbg_rng(tmp_path):
+    """cfg rng_impl='rbg' (the TPU-default hardware RNG for dropout,
+    utils/platform.training_rng) trains end-to-end on CPU too and
+    learns — guards the typed-key path through make_train_step/fold_in."""
+    rec = build_recognizer(tiny_crnn_cfg())
+    train_ds = toy_dataset(False)
+    cfg = dict(samples_per_gpu=10, total_epochs=6, log_interval=10,
+               input_shape=(32, 100, 1), rng_impl='rbg',
+               optimizer=dict(type='Adam', lr=2e-3))
+    state, history = train_recognizer(rec, train_ds, cfg,
+                                      work_dir=str(tmp_path / 'wd'), seed=0)
+    losses = [h['loss'] for h in history if 'loss' in h]
+    assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
+
+
+def test_training_rng_impl_selection():
+    from tps_pp_tpu.utils.platform import training_rng
+    import jax
+    # CPU backend: 'auto' must stay threefry (bit-exact suite determinism)
+    assert 'rbg' not in str(training_rng(0, 'auto').dtype)
+    assert 'rbg' in str(training_rng(0, 'rbg').dtype)
+    k = training_rng(7, 'threefry')
+    assert np.allclose(
+        np.asarray(jax.random.key_data(k)),
+        np.asarray(jax.random.key_data(jax.random.PRNGKey(7))))

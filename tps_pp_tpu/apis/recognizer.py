@@ -202,11 +202,14 @@ class TextRecognizer:
         # 'fused' remains available for interpret-mode tests
         if getattr(bb, 'stem_channels', 0) % 8:
             return 'xla'
-        # MEASURED: the fused stem loses on-chip (scratch/ab_stem_mode.py,
-        # B=512 v5e: 66.0 ms vs 59.0 ms xla — the VPU tap-stacking costs
-        # more than the MXU lane-packing win buys at these dims), so
-        # 'auto' resolves to the XLA stem; 'fused' stays available
-        # explicitly.
+        # CLOSED r5: 'auto' resolves to the XLA stem — the r4 "lane
+        # packing cliff" premise was a measurement artifact (the timing
+        # harness carries a ~4 ms fixed cost that swamped standalone
+        # conv timings; chain-delta timing shows XLA's stem convs run at
+        # 85-162 TFLOP/s in situ, scratch/probe_conv_chain.py). There is
+        # no headroom for a kernel formulation whose matmul is capped at
+        # 25% MXU by the 32-channel output dim; 'fused' stays as an
+        # explicit opt-in only.
         return 'xla'
 
     def _fused_stem(self, variables, img, interpret: bool = None):

@@ -20,6 +20,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..config import ConfigDict
+from ..utils.platform import training_rng
 from ..registry import ENCODERS, HEADS, LOSSES
 
 logger = logging.getLogger(__name__)
@@ -230,7 +231,7 @@ def train_ner(cfg: ConfigDict, train_ds, work_dir: Optional[str] = None,
         return tuple(jnp.asarray(np.stack([it[k] for it in items]))
                      for k in ('input_ids', 'attention_mask', 'labels'))
 
-    base_rng = jax.random.PRNGKey(seed)
+    base_rng = training_rng(seed, str(cfg.get('rng_impl', 'auto')))
     state = {'params': params, 'opt_state': opt_state, 'it': 0}
 
     def run_step(batch, epoch, it):

@@ -1,21 +1,31 @@
 """Channels-on-sublanes fused conv kernels for the small-channel stem.
 
-Why: the flagship stem's 3x3 convs have 32-64 channels, so XLA's NHWC conv
-puts <=64 output channels on the MXU's 128-lane dim — measured ~25% MXU
-(scratch/probe_stem.py: conv-only stem 8.94 ms vs a 1.55 ms FLOPs floor;
-BN/relu are free, the packing is the cost). This kernel transposes the
-problem: activations live as (C, P) with the P = N*H*W pixel index on
-lanes (W = 128 exactly fills a lane tile at the flagship's 32x128 input),
-and a 3x3 conv becomes ONE (C_out, 9*C_in) @ (9*C_in, P) matmul whose
-contraction is 9*C_in >= 288 — deep enough to keep the MXU fed. The nine
-shifted taps are stacked in VMEM with lane rolls + boundary masks:
-rolling the flat pixel axis by dx crosses a row boundary exactly where
-SAME padding wants zeros (lane % W == edge), and by W*dy where the image
-(h) boundary wants zeros, so masked rolls ARE the halo handling.
+STATUS (r5): measured dead end, kept as explicit opt-in machinery only
+(``stem_mode='fused'``; 'auto' uses the XLA stem). The r4 premise — that
+XLA runs the 32-64-channel stem convs at ~25% MXU — was a measurement
+artifact: the timing harness (common.timed_scan) carries a ~4 ms fixed
+cost per call (input-perturbation copy + output reduction at these IO
+sizes) that swamped standalone conv timings. Chain-delta timing
+(scratch/probe_conv_chain.py: (t_18convs - t_2convs)/16) shows XLA's
+in-situ stem convs at 85 TFLOP/s (c32) to 162 TFLOP/s (c64), i.e. near
+speed-of-light already. The matmul formulation below is additionally
+capped at <=25% MXU by its own 32-row output dim (tap construction is
+NOT the cost: scratch/probe_stem_taps.py measured rolls+masks ~free and
+the dot itself at ~8 TFLOP/s), so no tap-construction variant can win;
+a halo-flat DMA-tap variant built to dodge the rolls was removed after
+the same probes re-priced the question (git history, r5). Space-to-depth
+refolding also loses: 4x FLOPs at 191 TFLOP/s is slower than 1x at 85.
 
-Replaces the conv orientation of the reference stem
-(``resnet_v2_large.py:163-196`` runs stock torch NCHW convs; cuDNN packs
-small channels differently and does not have this cliff).
+Original design: activations live as (C, P) with the P = N*H*W pixel
+index on lanes (W = 128 exactly fills a lane tile at the flagship's
+32x128 input), and a 3x3 conv becomes ONE (C_out, 9*C_in) @ (9*C_in, P)
+matmul whose contraction is 9*C_in >= 288. The nine shifted taps are
+stacked in VMEM with lane rolls + boundary masks: rolling the flat pixel
+axis by dx crosses a row boundary exactly where SAME padding wants zeros
+(lane % W == edge), and by W*dy where the image (h) boundary wants
+zeros, so masked rolls ARE the halo handling.
+
+(Reference ``resnet_v2_large.py:163-196`` runs stock torch NCHW convs.)
 """
 from __future__ import annotations
 

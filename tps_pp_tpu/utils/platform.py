@@ -49,3 +49,23 @@ def maybe_init_distributed():
     elif int(os.environ.get('SLURM_NTASKS', '1') or '1') > 1:
         import jax
         jax.distributed.initialize()
+
+
+def training_rng(seed: int, impl: str = 'auto'):
+    """Dropout/rng base key for the train loops.
+
+    impl 'auto' picks the TPU hardware RNG ('rbg', XLA RngBitGenerator)
+    on TPU backends and threefry elsewhere: threefry mask generation is
+    pure VPU arithmetic and MEASURED 21.4 ms/step of the flagship's
+    276.9 ms B=512 train step (scratch/profile_train.py full-vs-rbg,
+    ROADMAP r5 training ledger) — ~8% throughput for free. 'rbg' is
+    deterministic per (key, program) on a fixed backend; pass
+    impl='threefry' for bit-exact cross-version mask reproducibility
+    (the torch reference guarantees neither — cuDNN dropout).
+    """
+    import jax
+    if impl == 'auto':
+        impl = 'rbg' if jax.default_backend() == 'tpu' else 'threefry2x32'
+    elif impl == 'threefry':
+        impl = 'threefry2x32'
+    return jax.random.key(seed, impl=impl)
